@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries + end-to-end log pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "pipeline_rows": N, "pipeline_sec": s, "throughput_seq_per_sec": r}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] width (default 32)
+  BENCH_SEQ_ROWS       synthesized sequences rows (default 2_000_000)
+
+The sequences table for the parse→route→aggregate leg is synthesized
+deterministically (seed 42) by the FIXTURES.md generator — no external
+data — and cached under .bench_data/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "2000000"))
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+HEADLINE = [
+    "log_route",
+    "log_filter_counts",
+    "log_search_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "tpch_pricing_summary",
+    "events_hourly",
+]
+
+
+def ensure_bench_sequences() -> str:
+    from txtlogparser_spark.sources.fixtures import FixtureSpec, write_fixture_tables
+
+    out = os.path.join(BENCH_DIR, f"seq_{SEQ_ROWS}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        spec = FixtureSpec(
+            n_rows=SEQ_ROWS, n_sources=16, seed=42, hot_fraction=0.5
+        )
+        write_fixture_tables(out, spec)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+def run_pipeline_bench(spark) -> tuple[int, float]:
+    """End-to-end parse→enrich→route→aggregate over the synthesized
+    sequences table (hot-source skew included)."""
+    from txtlogparser_spark.config import WorkspaceConfig
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.sources.fixtures import build_vocab, default_workspace
+
+    data_dir = ensure_bench_sequences()
+    vocab = build_vocab()
+    info = spark.read.parquet(f"{data_dir}/source_info.parquet")
+    pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+    seqs = pipe.load_sequences(f"{data_dir}/sequences")
+    t0 = time.perf_counter()
+    routed = pipe.run(seqs).persist()
+    try:
+        n = routed.count()
+        pipe.filter_counts(routed).collect()
+        pipe.search_counts(routed).collect()
+        dt = time.perf_counter() - t0
+    finally:
+        routed.unpersist()
+    return n, dt
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("txtlogparser-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    rows, pipe_sec = run_pipeline_bench(spark)
+    total += pipe_sec
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite + parse-route-aggregate pipeline wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {**per_query, "log_pipeline_e2e": round(pipe_sec, 3)},
+                "sf": sf,
+                "pipeline_rows": rows,
+                "pipeline_input_rows": SEQ_ROWS,
+                "pipeline_sec": round(pipe_sec, 3),
+                "throughput_seq_per_sec": round(SEQ_ROWS / pipe_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Scale/ops tests (SURVEY.md §5.5): checkpoint resume equivalence —
+kill after K batches, resume same run_id, sinks identical to an
+uninterrupted run."""
+
+import pytest
+
+from txtlogparser_spark.config import WorkspaceConfig, FilterSpec
+from txtlogparser_spark.plans.lineage import CheckpointedRunner
+from txtlogparser_spark.plans.pipeline import LogPipeline
+from txtlogparser_spark.sources.fixtures import (
+    FixtureSpec,
+    build_vocab,
+    default_workspace,
+    write_fixture_tables,
+)
+
+SPEC = FixtureSpec(n_rows=3_000, n_sources=8, seed=7, max_tok=30)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lineage_fixture")
+    write_fixture_tables(str(d), SPEC)
+    return str(d)
+
+
+def make_build(spark, data_dir):
+    vocab = build_vocab()
+    info = spark.read.parquet(f"{data_dir}/source_info.parquet")
+    pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+
+    def build(batch_sources):
+        import pyspark.sql.functions as F
+
+        # isin on the partition column → partition pruning, only the
+        # batch's directories are scanned
+        seqs = pipe.load_sequences(f"{data_dir}/sequences").where(
+            F.col("source").isin(batch_sources)
+        )
+        return pipe.run(seqs)
+
+    return build
+
+
+SOURCES = [f"src{s:02d}" for s in range(SPEC.n_sources)]
+
+
+def sink_fingerprint(df):
+    import pyspark.sql.functions as F
+
+    rows = df.select("doc_id").orderBy("doc_id").collect()
+    return [r["doc_id"] for r in rows]
+
+
+class TestResume:
+    def test_interrupted_resume_equals_uninterrupted(self, spark, tmp_path, data_dir):
+        build = make_build(spark, data_dir)
+
+        full = CheckpointedRunner(spark, "run_a", str(tmp_path / "full"))
+        n_full = full.run(SOURCES, build, batch_size=2)
+        assert n_full == 4
+
+        part = CheckpointedRunner(spark, "run_b", str(tmp_path / "part"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            part.run(SOURCES, build, batch_size=2, fail_after=2)
+        # resume: completed batches are skipped via lineage anti-join
+        resumed = CheckpointedRunner(spark, "run_b", str(tmp_path / "part"))
+        n_rest = resumed.run(SOURCES, build, batch_size=2)
+        assert n_rest == 2
+
+        assert sink_fingerprint(full.sink()) == sink_fingerprint(resumed.sink())
+
+    def test_lineage_rows_recorded(self, spark, tmp_path, data_dir):
+        build = make_build(spark, data_dir)
+        r = CheckpointedRunner(spark, "run_c", str(tmp_path / "c"))
+        r.run(SOURCES, build, batch_size=4)
+        lin = r.lineage().where("run_id = 'run_c'").collect()
+        assert len(lin) == 2
+        assert all(row["status"] == "done" for row in lin)
+        assert all(row["checksum"] is not None for row in lin)
+        # rerun is a no-op (all batches done)
+        assert r.run(SOURCES, build, batch_size=4) == 0

@@ -1,0 +1,178 @@
+"""End-to-end equality: Spark pipeline vs pure-Python oracle on the
+deterministic fixture table (SURVEY.md §5.3).
+
+Checks per BASELINE.json:
+- routed-row set equality, ordered by (source_rank, line_no)
+- per-row token-array equality (exact, vs input)
+- per-filter/search occurrence + line counts
+- first-match-wins span decomposition per line
+"""
+
+import numpy as np
+import pytest
+
+from txtlogparser_spark.config import FilterSpec, WorkspaceConfig
+from txtlogparser_spark.oracle import LineRec, run_pipeline
+from txtlogparser_spark.plans.pipeline import LogPipeline
+from txtlogparser_spark.sources.fixtures import (
+    FixtureSpec,
+    build_vocab,
+    default_workspace,
+    generate_sequences,
+    generate_source_info,
+    write_fixture_tables,
+)
+
+SPEC = FixtureSpec(n_rows=4_000, n_sources=5, seed=42, max_tok=40)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fixture")
+    write_fixture_tables(str(d), SPEC)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    vocab = build_vocab()
+    seq = generate_sequences(SPEC).to_pylist()
+    info = {r["source"]: r for r in generate_source_info(SPEC).to_pylist()}
+    lines = [
+        LineRec(
+            doc_id=r["doc_id"],
+            source=r["source"],
+            source_rank=info[r["source"]]["source_rank"],
+            line_no=int(r["doc_id"].rsplit("-", 1)[1]),
+            text=" ".join(vocab[t] for t in r["tokens"]),
+            tokens=tuple(r["tokens"]),
+        )
+        for r in seq
+    ]
+    return run_pipeline(lines, default_workspace())
+
+
+@pytest.fixture(scope="module")
+def spark_routed(spark, fixture_dir):
+    vocab = build_vocab()
+    info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+    pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+    seqs = pipe.load_sequences(f"{fixture_dir}/sequences")
+    routed = pipe.run(seqs)
+    return pipe, routed.cache()
+
+
+def spans_tuples(span_rows):
+    return [
+        (s["start"], s["end"], s["filter_id"], s["search_id"]) for s in span_rows
+    ]
+
+
+class TestRoutedRows:
+    def test_routed_row_set_and_order(self, spark_routed, oracle_result):
+        _, routed = spark_routed
+        got = [
+            r["doc_id"]
+            for r in routed.orderBy("source_rank", "line_no").select("doc_id").collect()
+        ]
+        want = [ol.rec.doc_id for ol in oracle_result.lines]
+        assert got == want
+
+    def test_token_array_equality(self, spark_routed, oracle_result):
+        _, routed = spark_routed
+        got = {
+            r["doc_id"]: tuple(r["tokens"])
+            for r in routed.select("doc_id", "tokens").collect()
+        }
+        for ol in oracle_result.lines:
+            assert got[ol.rec.doc_id] == ol.rec.tokens
+
+    def test_span_decomposition_matches(self, spark_routed, oracle_result):
+        _, routed = spark_routed
+        got = {
+            r["doc_id"]: spans_tuples(r["filter_spans"])
+            for r in routed.select("doc_id", "filter_spans").collect()
+        }
+        for ol in oracle_result.lines:
+            want = [
+                (s.start, s.end, s.filter_id, s.search_id) for s in ol.filter_spans
+            ]
+            assert got[ol.rec.doc_id] == want, ol.rec.doc_id
+
+    def test_route_tag_is_first_claiming_filter(self, spark_routed, oracle_result):
+        _, routed = spark_routed
+        got = {r["doc_id"]: r["route"] for r in routed.select("doc_id", "route").collect()}
+        ws = default_workspace()
+        order = {f.id: f.row for f in ws.enabled_filters()}
+        for ol in oracle_result.lines:
+            claimed = {s.filter_id for s in ol.filter_spans if s.filter_id != -1}
+            want = min(claimed, key=lambda fid: order[fid])
+            assert got[ol.rec.doc_id] == want
+
+
+class TestAggregates:
+    def test_filter_counts(self, spark_routed, oracle_result):
+        pipe, routed = spark_routed
+        got = {
+            r["filter_id"]: (r["occurrence_count"], r["line_count"])
+            for r in pipe.filter_counts(routed).collect()
+        }
+        want = {
+            fid: (cnt, len(oracle_result.filter_line_map[fid]))
+            for fid, cnt in oracle_result.filter_match_count.items()
+        }
+        assert got == want
+
+    def test_search_counts(self, spark_routed, oracle_result):
+        pipe, routed = spark_routed
+        got = {
+            r["search_id"]: (r["occurrence_count"], r["line_count"])
+            for r in pipe.search_counts(routed).collect()
+        }
+        want = {
+            sid: (cnt, len(oracle_result.search_line_map[sid]))
+            for sid, cnt in oracle_result.search_match_count.items()
+        }
+        assert got == want
+
+    def test_counts_nonempty(self, oracle_result):
+        # fixture sanity: every enabled filter + search actually fires
+        assert set(oracle_result.filter_match_count) == {201, 202, 203, 204}
+        assert set(oracle_result.search_match_count) == {301, 302}
+
+
+class TestPassthrough:
+    def test_no_filters_passes_all_rows(self, spark, fixture_dir):
+        vocab = build_vocab()
+        ws = WorkspaceConfig(filters=[], searches=[])
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        pipe = LogPipeline(spark, ws, vocab, source_info=info)
+        routed = pipe.run(pipe.load_sequences(f"{fixture_dir}/sequences"))
+        assert routed.count() == SPEC.n_rows
+
+    def test_filter_order_changes_counts(self, spark, fixture_dir):
+        # overlapping patterns, permuted rows ⇒ different claim precedence:
+        # case-sensitive 'ERROR' vs case-insensitive 'error' both hit the
+        # same tokens; whichever runs first claims them (SURVEY.md §2.3 #1)
+        vocab = build_vocab()
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        base = WorkspaceConfig(
+            filters=[
+                FilterSpec(201, 0, "ERROR", caseSensitive=True),
+                FilterSpec(202, 1, "error", caseSensitive=False),
+            ]
+        )
+        permuted = WorkspaceConfig(
+            filters=[
+                FilterSpec(201, 1, "ERROR", caseSensitive=True),
+                FilterSpec(202, 0, "error", caseSensitive=False),
+            ]
+        )
+        p1 = LogPipeline(spark, base, vocab, source_info=info)
+        p2 = LogPipeline(spark, permuted, vocab, source_info=info)
+        seqs = p1.load_sequences(f"{fixture_dir}/sequences")
+        c1 = {r["filter_id"]: r["occurrence_count"] for r in p1.filter_counts(p1.run(seqs)).collect()}
+        c2 = {r["filter_id"]: r["occurrence_count"] for r in p2.filter_counts(p2.run(seqs)).collect()}
+        assert c1 != c2  # precedence is load-bearing (SURVEY.md §2.3 #1)
+        # survival set is order-independent (OR-semantics)
+        assert p1.run(seqs).count() == p2.run(seqs).count()

@@ -1,0 +1,107 @@
+"""Driver-mimic: run each __spark_entry__ query on Spark AND its DuckDB
+oracle at sf0.01; compare row count, column names, and order-insensitive
+values (sorted rows, columns sorted by name, rounded floats).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(srows)} rows) — no oracle")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failures += 1
+            continue
+        dcols = list(ddf.columns)
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            failures += 1
+            continue
+        cols = sorted(scols)
+        sset = sorted(tuple(norm(r[c]) for c in cols) for r in srows)
+        dset = sorted(
+            tuple(norm(v) for v in row)
+            for row in ddf[cols].itertuples(index=False, name=None)
+        )
+        if len(sset) != len(dset):
+            print(f"FAIL {name}: rowcount {len(sset)} != {len(dset)}")
+            failures += 1
+            continue
+        if sset != dset:
+            diff = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+            for i in diff:
+                print(f"   spark={sset[i]}\n   duck ={dset[i]}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(sset)} rows match")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""End-to-end pipeline assembly: parse → enrich → route → aggregate.
+
+Declarative plan construction — every stage returns a lazy DataFrame so
+Catalyst fuses the whole run into one optimized plan per action (the
+reference's pause/resume recompute-coalescing, OutputData.cpp:233-255,
+falls out of lazy evaluation for free).
+
+Stage order & the scale rationale:
+
+  scan (source-pruned, column-pruned)          # Iceberg/parquet partition pruning
+    → coarse survival prefilter on tokens?     # no — prefilter needs text:
+    → detokenize (Arrow UDF)                   #   runs after scan pruning
+    → coarse survival prefilter (Catalyst)     # prunes before the span UDF
+    → span UDF (Arrow)                         # exact spans, the one Python stage
+    → exact survival filter (JVM exists())     # OR-semantics
+    → broadcast enrich (source_rank, payload)  # no fact-table shuffle
+    → route tag (CASE)                         # single pass, per-sink writes
+    → aggregates (partial+final hash agg)      # only (id, count) shuffles
+
+The detokenize → prefilter order means the string materializes for every
+scanned row; at 10^12 scale the win is that `contains()` prefiltering
+happens BEFORE the (more expensive) span extraction and that dropped rows
+never reach Python. A token-level prefilter (pattern tokens ⊂ row tokens
+via array_contains on known-vocab single-token patterns) is a further
+optimization hook noted in ROADMAP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from txtlogparser_spark.config import WorkspaceConfig
+from txtlogparser_spark.functions.detokenize import make_detokenizer
+from txtlogparser_spark.functions.spans import attach_spans
+from txtlogparser_spark.operators.aggregate import filter_metrics, search_metrics
+from txtlogparser_spark.operators.enrich import enrich_with_sources
+from txtlogparser_spark.operators.route import (
+    filter_predicate,
+    route_tag_column,
+    survival_prefilter,
+)
+
+
+class LogPipeline:
+    """One workspace config bound to a SparkSession — the run-config analog
+    of WorkspaceData (WorkspaceData.h:21-106)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workspace: WorkspaceConfig,
+        vocab: Sequence[str],
+        source_info: Optional[DataFrame] = None,
+        *,
+        salt_buckets: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.ws = workspace.validate()
+        self.vocab = list(vocab)
+        self.source_info = source_info
+        # salted repartition width for hot-source skew (SURVEY.md §4 #2);
+        # 0 = rely on AQE skew handling only
+        self.salt_buckets = salt_buckets
+        self._detok = make_detokenizer(self.vocab)
+
+    # ---- sources ----
+    def load_sequences(self, path: str) -> DataFrame:
+        """Read the sequences table. Parquet dataset partitioned by source
+        (Iceberg-compatible layout); Catalyst prunes partitions when a
+        source predicate is present."""
+        return self.spark.read.parquet(path)
+
+    # ---- stages ----
+    def parsed(self, seqs: DataFrame) -> DataFrame:
+        """Detokenize + derive line_no from doc_id ('{source}-{line_no:08d}',
+        FIXTURES.md §1). Column-pruned: only needed cols pass on."""
+        df = seqs
+        if self.salt_buckets > 0:
+            # explicit skew defusal: spread each hot source over N buckets
+            # before wide downstream stages while keeping source locality
+            df = df.repartition(
+                F.col("source"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets)),
+            )
+        return df.withColumn(
+            "line_no",
+            F.substring_index("doc_id", "-", -1).cast("int"),
+        ).withColumn("text", self._detok(F.col("tokens")))
+
+    def enriched(self, parsed: DataFrame) -> DataFrame:
+        """Broadcast enrich with source_rank/payload; prune unselected
+        sources (S2) before anything expensive."""
+        if self.source_info is None:
+            # degenerate single-source mode: rank sources lexicographically
+            ranks = (
+                parsed.sparkSession.createDataFrame(
+                    [(s,) for s in sorted(
+                        r["source"] for r in parsed.select("source").distinct().collect()
+                    )],
+                    ["source"],
+                )
+                .withColumn(
+                    "source_rank", F.row_number().over(Window.orderBy("source")) - 1
+                )
+            )
+            return parsed.join(F.broadcast(ranks), "source", "inner")
+        return enrich_with_sources(parsed, self.source_info)
+
+    def routed(self, enriched: DataFrame, *, with_search: bool = True) -> DataFrame:
+        """Coarse prefilter → span UDF → exact OR-survival → route tag."""
+        filters = self.ws.enabled_filters()
+        searches = self.ws.enabled_searches() if with_search else []
+        pre = survival_prefilter(filters, F.col("text"), self.spark)
+        df = enriched.where(pre)
+        df = attach_spans(
+            df, "text", filters, searches, include_search=with_search
+        )
+        if filters:
+            df = df.where(filter_predicate(F.col("filter_spans")))
+            df = df.withColumn(
+                "route", route_tag_column(filters, F.col("filter_spans"))
+            )
+        else:
+            # no enabled filters ⇒ pass-through (OutputData.cpp:323-329)
+            df = df.withColumn("route", F.lit(-1))
+        return df
+
+    # ---- aggregates (A1-A3) ----
+    def filter_counts(self, routed: DataFrame) -> DataFrame:
+        return filter_metrics(routed)
+
+    def search_counts(self, routed: DataFrame) -> DataFrame:
+        return search_metrics(routed)
+
+    # ---- one-call plan ----
+    def run(self, seqs: DataFrame, *, with_search: bool = True) -> DataFrame:
+        return self.routed(self.enriched(self.parsed(seqs)), with_search=with_search)
+
+    def write_sinks(self, routed: DataFrame, out_dir: str) -> None:
+        """Fan-out: ONE pass writes every route's sink via partitioned write
+        (no per-filter re-scan); per-row invariant columns ride along."""
+        (
+            routed.write.mode("overwrite")
+            .partitionBy("route", "source")
+            .parquet(f"{out_dir}/routed")
+        )

@@ -1,0 +1,164 @@
+"""Deterministic fixture generator for the tokenized-sequence input table.
+
+Schema per BASELINE.json input_hint / FIXTURES.md §1:
+  sequences(doc_id: string, tokens: array<int32>, n_tok: int32, source: string)
+  source_info(source, source_rank, selected, host, env)
+
+Content recipe (FIXTURES.md §1) exercises every matcher path: log levels
+with mixed-case variants (ASCII case folding, FilterData.cpp:114-117),
+underscore tokens (isalnum vs \\b whole-word divergence, FilterData.cpp:126-128
+vs :167), repeated-substring tokens for the greedy non-overlapping scan
+quirk (FilterData.cpp:150), numeric fields for regex capture, and
+overlap-bait lines for first-match-wins + search overlay.
+
+All generation is numpy-vectorized and seeded: same (spec, seed) ⇒
+byte-identical tables at any scale, which also makes checkpoint-resume
+tests reproducible. Skew: `hot_fraction` of rows land in source 0 to
+exercise salted repartitioning (SURVEY.md §4 custom-work #2).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from txtlogparser_spark.config import FilterSpec, SearchSpec, WorkspaceConfig
+
+VOCAB_SIZE = 4096
+
+# Words that the fixture filters/searches target (FIXTURES.md §3).
+_INTERESTING = [
+    "ERROR", "Error", "error", "WARN", "warn", "Warn", "INFO", "DEBUG", "TRACE",
+    "conn_error", "_retry_", "retry", "timeout", "aaa", "abab", "aa",
+    "latency=123ms", "latency=7ms", "latency=4567ms", "code=200", "code=404",
+    "code=500", "request", "response", "GET", "POST", "user", "session",
+    "db_conn_error", "warning", "errors",
+]
+
+
+def build_vocab(size: int = VOCAB_SIZE) -> List[str]:
+    filler = [f"w{i:04d}" for i in range(size - len(_INTERESTING))]
+    return _INTERESTING + filler
+
+
+@dataclass(frozen=True)
+class FixtureSpec:
+    n_rows: int = 50_000
+    n_sources: int = 8
+    seed: int = 42
+    min_tok: int = 3
+    max_tok: int = 120
+    hot_fraction: float = 0.0  # fraction of rows forced into source 0
+    interesting_rate: float = 0.25  # per-token prob of an interesting word
+
+
+def generate_sequences(spec: FixtureSpec) -> pa.Table:
+    """Vectorized generation of the sequences table as one Arrow table."""
+    rng = np.random.RandomState(spec.seed)
+    n = spec.n_rows
+    n_int = len(_INTERESTING)
+
+    # source assignment (with optional hot-source skew)
+    src_idx = rng.randint(0, spec.n_sources, size=n)
+    if spec.hot_fraction > 0:
+        hot = rng.rand(n) < spec.hot_fraction
+        src_idx = np.where(hot, 0, src_idx)
+
+    n_tok = rng.randint(spec.min_tok, spec.max_tok + 1, size=n).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    total = int(offsets[-1])
+
+    # token stream: filler words by default, interesting words at a fixed rate
+    values = rng.randint(n_int, VOCAB_SIZE, size=total)
+    mask = rng.rand(total) < spec.interesting_rate
+    values[mask] = rng.randint(0, n_int, size=int(mask.sum()))
+    values = values.astype(np.int32)
+
+    # per-source running line numbers → doc_id "{source}-{line_no:08d}"
+    line_no = np.zeros(n, dtype=np.int64)
+    counters = np.zeros(spec.n_sources, dtype=np.int64)
+    for s in range(spec.n_sources):
+        sel = src_idx == s
+        cnt = int(sel.sum())
+        line_no[sel] = np.arange(cnt)
+        counters[s] = cnt
+    sources = np.array([f"src{s:02d}" for s in range(spec.n_sources)])
+    src_col = sources[src_idx]
+    doc_id = np.char.add(
+        np.char.add(src_col, "-"),
+        np.char.zfill(line_no.astype(str), 8),
+    )
+
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id.tolist(), type=pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(src_col.tolist(), type=pa.string()),
+        }
+    )
+
+
+def generate_source_info(spec: FixtureSpec) -> pa.Table:
+    """One row per source; source_rank is a deterministic non-identity
+    permutation (FIXTURES.md §2) so order-sensitivity is actually tested."""
+    rng = np.random.RandomState(spec.seed + 1)
+    n = spec.n_sources
+    rank = rng.permutation(n)
+    envs = np.array(["prod", "staging", "dev"])
+    return pa.table(
+        {
+            "source": pa.array([f"src{s:02d}" for s in range(n)]),
+            "source_rank": pa.array(rank, type=pa.int32()),
+            "selected": pa.array([True] * n),
+            "host": pa.array([f"host-{s % 4}" for s in range(n)]),
+            "env": pa.array(envs[rng.randint(0, 3, size=n)].tolist()),
+        }
+    )
+
+
+def default_workspace() -> WorkspaceConfig:
+    """The FIXTURES.md §3 workspace: both matcher modes × both flag axes,
+    a disabled filter, and overlapping filter/search patterns."""
+    return WorkspaceConfig(
+        id=1,
+        name="fixture-ws",
+        filters=[
+            FilterSpec(201, 0, "ERROR", caseSensitive=True, wholeWord=False, regex=False, color="#F44336"),
+            FilterSpec(202, 1, "warn", caseSensitive=False, wholeWord=True, regex=False, color="#DFEE15"),
+            FilterSpec(203, 2, r"code=\d+", caseSensitive=False, wholeWord=False, regex=True, color="#37B027"),
+            FilterSpec(204, 3, "conn_error", caseSensitive=False, wholeWord=True, regex=True, color="#187DCA"),
+            FilterSpec(205, 4, "TRACE", caseSensitive=True, wholeWord=False, regex=False, enabled=False, color="#CA692D"),
+        ],
+        searches=[
+            SearchSpec(301, 0, "latency", caseSensitive=False, wholeWord=False, regex=False, color="#2195F3"),
+            SearchSpec(302, 1, r"\d+ms", caseSensitive=False, wholeWord=False, regex=True, color="#03F4D8"),
+        ],
+    ).validate()
+
+
+def write_fixture_tables(
+    out_dir: str, spec: FixtureSpec, *, partition_by_source: bool = True
+) -> Tuple[str, str]:
+    """Write sequences (partitioned by source — the Iceberg partition-spec
+    analog enabling partition pruning on source selection) + source_info."""
+    os.makedirs(out_dir, exist_ok=True)
+    seq = generate_sequences(spec)
+    seq_path = os.path.join(out_dir, "sequences")
+    if partition_by_source:
+        pq.write_to_dataset(seq, seq_path, partition_cols=["source"])
+    else:
+        os.makedirs(seq_path, exist_ok=True)
+        pq.write_table(seq, os.path.join(seq_path, "part-0.parquet"))
+    info_path = os.path.join(out_dir, "source_info.parquet")
+    pq.write_table(generate_source_info(spec), info_path)
+    return seq_path, info_path
