@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "text_quality": q_text_quality,
         "token_count_regex": q_token_count_regex,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "langid": q_langid,
+        "quality_scores": q_quality_scores,
+        "events_json_agg": q_events_json_agg,
+        "user_event_deltas": q_user_event_deltas,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_rollup": q_orders_rollup,
     }
 
 
@@ -499,4 +508,237 @@ def oracle_sql() -> dict[str, str]:
               length(text) AS n_chars_m
             FROM documents
         """,
+        # dedup_simhash / ann_lsh_topk: xxhash64-based (Spark-native hash,
+        # no ANSI analog) → rows-only checks; quality pinned in pytest.
+        "dedup_minhash_lsh": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "langid": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split(lower(text),' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) * 1.0 / len(string_split(text,' ')) AS r_en,
+                len(list_filter(string_split(lower(text),' '), w -> list_contains(['el','la','de','y','en','que','los'], w))) * 1.0 / len(string_split(text,' ')) AS r_es,
+                len(list_filter(string_split(lower(text),' '), w -> list_contains(['le','la','de','et','en','que','les'], w))) * 1.0 / len(string_split(text,' ')) AS r_fr,
+                len(list_filter(string_split(lower(text),' '), w -> list_contains(['der','die','das','und','in','zu','den'], w))) * 1.0 / len(string_split(text,' ')) AS r_de
+              FROM documents
+            )
+            SELECT doc_id, lang,
+              CASE WHEN greatest(r_en, r_es, r_fr, r_de) = 0 THEN 'und'
+                   WHEN r_en = greatest(r_en, r_es, r_fr, r_de) THEN 'en'
+                   WHEN r_es = greatest(r_en, r_es, r_fr, r_de) THEN 'es'
+                   WHEN r_fr = greatest(r_en, r_es, r_fr, r_de) THEN 'fr'
+                   ELSE 'de' END AS pred_lang
+            FROM r
+        """,
+        "quality_scores": """
+            WITH q AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars_t,
+                ROUND(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0
+                      / length(text), 6) AS noise
+              FROM documents
+            )
+            SELECT doc_id,
+              ROUND(least(n_words / 20.0, 1.0) * 0.4
+                + (CASE WHEN n_chars_t * 1.0 / n_words >= 3
+                         AND n_chars_t * 1.0 / n_words <= 12
+                        THEN 1.0 ELSE 0.5 END) * 0.4
+                + (1 - least(noise * 5, 1.0)) * 0.2, 6) AS quality,
+              noise AS punct_r
+            FROM q
+        """,
+        "events_json_agg": """
+            SELECT event_type,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+              COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "user_event_deltas": """
+            WITH d AS (
+              SELECT user_id,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+              FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+              SUM(delta) AS sum_delta, MAX(delta) AS max_delta
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "customers_without_orders": """
+            SELECT DISTINCT c_custkey FROM (
+              SELECT c_custkey FROM customer
+              EXCEPT
+              SELECT o_custkey FROM orders
+            ) ORDER BY c_custkey
+        """,
+        "orders_rollup": """
+            SELECT n_name, o_orderpriority, COUNT(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, o_orderpriority)
+            ORDER BY n_name, o_orderpriority
+        """,
     }
+
+
+# ------------------------------------------------- round-1 extension queries
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 md5-minhashes →
+    4 bands → bucket-join. Hashing is md5-hex (portable → DuckDB oracle
+    runs the byte-identical scheme)."""
+    from txtlogparser_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    shingles = F.when(
+        F.size("w") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i + 1), F.element_at("w", i + 2), F.element_at("w", i + 3)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = minhash_signatures(sh, num_hashes=16)
+    return lsh_candidate_pairs(sig, num_hashes=16, band_size=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — Spark-native hash, no
+    ANSI-SQL analog → rows-only driver check; pinned in pytest)."""
+    from txtlogparser_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        _docs(spark, sf_dir), max_hamming=10
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path; xxhash64 hyperplanes →
+    rows-only driver check; recall vs brute force pinned in pytest)."""
+    from txtlogparser_spark.operators.similarity import as_double_vec, lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = lsh_topk(q, v.where(F.col("vec_id") >= 10), k=5, dim=64, bits=10, tables=3)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic vs the labeled lang column."""
+    from txtlogparser_spark.functions.text import langid_heuristic
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", langid_heuristic().alias("pred_lang")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + punctuation ratio per doc."""
+    from txtlogparser_spark.functions.text import punct_ratio, quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        quality_score().alias("quality"),
+        punct_ratio().alias("punct_r"),
+    )
+
+
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregate over the events props column."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: per-user inter-event gap stats (epoch-second math
+    for cross-engine determinism)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    delta = ep - F.lag(ep).over(w)
+    return (
+        e.withColumn("delta", delta)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("delta").alias("sum_delta"),
+            F.max("delta").alias("max_delta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT) + anti-join semantics."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.exceptAll(o).distinct().orderBy("c_custkey")
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate over the enrich-join chain."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("n_name", "o_orderpriority")
+    )

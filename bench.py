@@ -63,20 +63,25 @@ def run_pipeline_bench(spark) -> tuple[int, float]:
     from txtlogparser_spark.plans.pipeline import LogPipeline
     from txtlogparser_spark.sources.fixtures import build_vocab, default_workspace
 
+    import shutil
+
     data_dir = ensure_bench_sequences()
     vocab = build_vocab()
     info = spark.read.parquet(f"{data_dir}/source_info.parquet")
     pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
     seqs = pipe.load_sequences(f"{data_dir}/sequences")
+    sink = os.path.join(BENCH_DIR, "routed_sink")
+    shutil.rmtree(sink, ignore_errors=True)
     t0 = time.perf_counter()
-    routed = pipe.run(seqs).persist()
-    try:
-        n = routed.count()
-        pipe.filter_counts(routed).collect()
-        pipe.search_counts(routed).collect()
-        dt = time.perf_counter() - t0
-    finally:
-        routed.unpersist()
+    # ONE pipeline execution: routed rows land in the sink; aggregates
+    # read the (columnar, pruned) sink instead of recomputing the UDF
+    routed = pipe.run(seqs)
+    routed.write.mode("overwrite").parquet(sink)
+    routed_sink = spark.read.parquet(sink)
+    n = routed_sink.count()
+    pipe.filter_counts(routed_sink).collect()
+    pipe.search_counts(routed_sink).collect()
+    dt = time.perf_counter() - t0
     return n, dt
 
 

@@ -176,3 +176,43 @@ class TestPassthrough:
         assert c1 != c2  # precedence is load-bearing (SURVEY.md §2.3 #1)
         # survival set is order-independent (OR-semantics)
         assert p1.run(seqs).count() == p2.run(seqs).count()
+
+
+class TestFusedPath:
+    def test_fused_and_unfused_agree(self, spark, fixture_dir):
+        vocab = build_vocab()
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+        seqs = pipe.load_sequences(f"{fixture_dir}/sequences")
+        a = pipe.run(seqs, fused=True)
+        b = pipe.run(seqs, fused=False)
+        ka = sorted(
+            (r["doc_id"], r["route"], tuple(map(tuple, r["filter_spans"])))
+            for r in a.select("doc_id", "route", "filter_spans").collect()
+        )
+        kb = sorted(
+            (r["doc_id"], r["route"], tuple(map(tuple, r["filter_spans"])))
+            for r in b.select("doc_id", "route", "filter_spans").collect()
+        )
+        assert ka == kb
+
+    def test_token_prefilter_is_sound(self, spark, fixture_dir):
+        # prefiltered row set ⊇ surviving row set, and counts identical
+        # with prefilter force-disabled
+        import pyspark.sql.functions as F
+        from txtlogparser_spark.functions.token_prefilter import (
+            token_survival_prefilter,
+        )
+
+        vocab = build_vocab()
+        ws = default_workspace()
+        pre = token_survival_prefilter(ws.enabled_filters(), vocab)
+        assert pre is not None
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        pipe = LogPipeline(spark, ws, vocab, source_info=info)
+        seqs = pipe.load_sequences(f"{fixture_dir}/sequences")
+        survivors = {r["doc_id"] for r in pipe.run(seqs).select("doc_id").collect()}
+        prefiltered = {
+            r["doc_id"] for r in seqs.where(pre).select("doc_id").collect()
+        }
+        assert survivors <= prefiltered

@@ -1,0 +1,227 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/jaccard),
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "s0"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend", "s0"),  # near-dup of 0
+        (2, "completely different content about spark query optimization today", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),  # exact dup of 0
+        (4, "el rapido zorro marron salta sobre el perro perezoso de la casa", "s1"),
+        (5, "one two three", "s2"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text", "source"])
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from txtlogparser_spark.operators.dedup import exact_dedup
+
+        out = {r["doc_id"]: (r["keeper_id"], r["is_dup"]) for r in exact_dedup(docs).collect()}
+        assert out[0] == (0, False)
+        assert out[3] == (0, True)
+        assert out[1] == (1, False)  # near-dup is NOT an exact dup
+
+    def test_ngram_jaccard(self, docs):
+        from txtlogparser_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jacc"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+        assert (1, 3) in pairs
+        assert not any(2 in p or 4 in p or 5 in p for p in pairs)
+
+    def test_minhash_lsh_finds_dups(self, docs):
+        from txtlogparser_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            shingle_table,
+        )
+
+        sh = shingle_table(docs)
+        sig = minhash_signatures(sh, num_hashes=16)
+        cands = lsh_candidate_pairs(sig, num_hashes=16, band_size=4)
+        got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+        assert (0, 3) in got  # exact dup always collides
+        assert (0, 1) in got or (1, 3) in got  # J≈0.8 almost surely banded
+        # verify stage: exact jaccard restricted to candidates
+        verified = ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands)
+        vp = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+        assert (0, 3) in vp
+
+    def test_simhash_buckets(self, spark):
+        # SimHash needs enough words for stable bit majorities: 60-word
+        # texts differing in one word → tiny Hamming distance; unrelated
+        # text → large. (12-word micro-docs are too noisy by design.)
+        import random
+
+        from txtlogparser_spark.operators.dedup import (
+            simhash_candidate_pairs,
+            with_simhash64,
+        )
+
+        random.seed(1)
+        words = [f"w{i}" for i in range(500)]
+        base = [random.choice(words) for _ in range(60)]
+        near = list(base)
+        near[7] = "CHANGED"
+        other = [random.choice(words) for _ in range(60)]
+        df = spark.createDataFrame(
+            [
+                (0, " ".join(base)),
+                (1, " ".join(near)),
+                (2, " ".join(other)),
+                (3, " ".join(base)),
+            ],
+            ["doc_id", "text"],
+        )
+        sh = {r["doc_id"]: r["sh"] for r in with_simhash64(df).collect()}
+        ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")
+        assert ham(0, 3) == 0  # identical text → identical simhash
+        assert 0 < ham(0, 1) <= 3  # near-dup → tiny distance
+        assert ham(0, 2) > 10  # unrelated → far
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_candidate_pairs(df, max_hamming=3).collect()
+        }
+        assert got.get((0, 3)) == 0
+        assert (0, 1) in got  # pigeonhole bucketing catches hamming ≤ 3
+        assert not any(2 in p for p in got)
+
+
+class TestSimilarity:
+    def test_brute_force_exact(self, spark):
+        from txtlogparser_spark.operators.similarity import brute_force_topk, as_double_vec
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(20, 8).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(20)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        got = brute_force_topk(queries, corpus.where("vec_id >= 2"), k=3)
+        rows = got.collect()
+        assert len(rows) == 6
+        # numpy oracle
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        for q in (0, 1):
+            sims = sorted(
+                ((cos(vecs[q], vecs[i]), i) for i in range(2, 20)),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            want = [i for _, i in sims]
+            got_q = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == q]
+            assert got_q == want
+
+    def test_lsh_recall_reasonable(self, spark):
+        from txtlogparser_spark.operators.similarity import (
+            as_double_vec,
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        # clustered corpus: near neighbors are genuinely near (the use
+        # case LSH serves); uniform gaussians have no meaningful top-k
+        rng = np.random.RandomState(5)
+        centers = rng.randn(10, 8) * 3
+        vecs = np.vstack([
+            centers[i % 10] + rng.randn(8) * 0.1 for i in range(60)
+        ]).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cor = corpus.where("vec_id >= 3")
+        exact = brute_force_topk(queries, cor, k=3).collect()
+        approx = lsh_topk(queries, cor, k=3, dim=8, bits=6, tables=3).collect()
+
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        # clustered data: same-cluster vectors collide in ≥1 table
+        assert len(e & a) >= (2 * len(e)) // 3
+
+
+class TestTextFunctions:
+    def test_counts_and_quality(self, docs):
+        from txtlogparser_spark.functions.text import (
+            quality_score,
+            regex_token_count,
+            stopword_ratio,
+            whitespace_token_count,
+        )
+
+        row = (
+            docs.where("doc_id = 0")
+            .select(
+                whitespace_token_count().alias("n"),
+                regex_token_count().alias("nr"),
+                stopword_ratio().alias("sr"),
+                quality_score().alias("q"),
+            )
+            .collect()[0]
+        )
+        assert row["n"] == 13
+        assert row["nr"] == 13
+        assert abs(row["sr"] - 3 / 13) < 1e-6
+        assert 0.0 <= row["q"] <= 1.0
+
+    def test_langid(self, docs):
+        from txtlogparser_spark.functions.text import langid_heuristic
+
+        got = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select("doc_id", langid_heuristic().alias("lang")).collect()
+        }
+        assert got[0] == "en"
+        assert got[4] == "es"
+        assert got[5] == "und"
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from txtlogparser_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            deterministic_fake_decoder,
+            extract_features,
+            frame_sample_plan,
+        )
+
+        rows = [
+            ("m1", "image", b"\x89PNG-fake-bytes", ("image/png", 4, 4, None)),
+            ("m2", "audio", b"RIFF-fake", ("audio/wav", None, None, 2000)),
+            ("m3", "video", b"mp4-fake", ("video/mp4", 16, 16, 3000)),
+            ("m4", "image", None, ("image/png", 1, 1, None)),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(media, dim=8).collect()
+        by_id = {r["doc_id"]: r for r in feats}
+        assert len(by_id["m1"]["feature"]) == 8
+        assert by_id["m4"]["n_bytes"] == 0
+        # determinism: same payload → same features across runs
+        feats2 = extract_features(media, dim=8).collect()
+        assert {r["doc_id"]: r["feature"] for r in feats2} == {
+            r["doc_id"]: r["feature"] for r in feats
+        }
+        # real decoder is an explicit stub
+        from txtlogparser_spark.operators.multimodal import real_decoder
+
+        with pytest.raises(NotImplementedError):
+            real_decoder(b"x", None)
+        # frame sampling expands by duration
+        frames = frame_sample_plan(media, every_ms=1000).collect()
+        assert {r["frame_ms"] for r in frames} == {0, 1000, 2000, 3000}

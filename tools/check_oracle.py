@@ -23,6 +23,8 @@ TABLES = [
 
 
 def norm(v):
+    if v is None:
+        return ""  # sortable sentinel (rollup/grouping-set NULLs)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -333,7 +333,11 @@ def make_span_extractor(
                 cols["c_srow"].append([s[5] for s in cs])
         return pd.DataFrame(cols)
 
-    return spans_udf
+    # asNondeterministic is an optimizer fence, not a semantics claim: the
+    # UDF is pure, but without the fence Catalyst pushes the survival
+    # filter through the projection and re-substitutes the UDF expression,
+    # duplicating the ArrowEvalPython stage (observed: 2x Python cost).
+    return spans_udf.asNondeterministic()
 
 
 def assemble_spans(
@@ -421,3 +425,81 @@ def attach_spans(
             "combined_spans", assemble_spans("_flat", kind="combined")
         )
     return out.drop("_flat")
+
+
+def make_fused_extractor(
+    vocab: Sequence[str],
+    filters: Sequence[FilterSpec],
+    searches: Sequence[SearchSpec] = (),
+    *,
+    include_search: bool = True,
+    include_combined: bool = False,
+    sep: str = " ",
+):
+    """Fused detokenize + span extraction: ONE Arrow round trip.
+
+    tokens array<int32> → struct(text string, <flat span arrays>). Fusing
+    matters at scale: the unfused plan ships `text` JVM→Python a second
+    time for span extraction; the fused stage detokenizes (numpy vocab
+    gather) and extracts spans while the string is still a hot Python
+    object, halving Arrow traffic for the dominant column.
+    """
+    import numpy as np
+
+    from txtlogparser_spark.functions.detokenize import UNK
+
+    table = np.asarray(list(vocab) + [UNK], dtype=object)
+    nv = len(vocab)
+
+    ftab = _matcher_table(filters)
+    stab = _matcher_table(searches) if include_search else []
+    want_combined = include_combined
+
+    arr = ArrayType(IntegerType(), False)
+    from pyspark.sql.types import StringType
+
+    fields = [StructField("text", StringType(), False)]
+    fields += [StructField(f"f_{x}", arr, False) for x in ("start", "end", "id", "row")]
+    if include_search:
+        fields += [StructField(f"s_{x}", arr, False) for x in ("start", "end", "id", "row")]
+    if want_combined:
+        fields += [
+            StructField(f"c_{x}", arr, False)
+            for x in ("start", "end", "fid", "frow", "sid", "srow")
+        ]
+    out_type = StructType(fields)
+    join = sep.join
+
+    @F.pandas_udf(out_type)
+    def fused_udf(tokens: pd.Series) -> pd.DataFrame:
+        cols: dict = {f.name: [] for f in fields}
+        ap = {k: v.append for k, v in cols.items()}
+        for t in tokens:
+            if t is None or len(t) == 0:
+                text = ""
+            else:
+                ids = np.asarray(t, dtype=np.int64)
+                ids = np.where((ids >= 0) & (ids < nv), ids, nv)
+                text = join(table[ids])
+            fs, ss, cs = extract_line_spans(text, ftab, stab, want_combined)
+            ap["text"](text)
+            ap["f_start"]([s[0] for s in fs])
+            ap["f_end"]([s[1] for s in fs])
+            ap["f_id"]([s[2] for s in fs])
+            ap["f_row"]([s[3] for s in fs])
+            if include_search:
+                ap["s_start"]([s[0] for s in ss])
+                ap["s_end"]([s[1] for s in ss])
+                ap["s_id"]([s[4] for s in ss])
+                ap["s_row"]([s[5] for s in ss])
+            if want_combined:
+                ap["c_start"]([s[0] for s in cs])
+                ap["c_end"]([s[1] for s in cs])
+                ap["c_fid"]([s[2] for s in cs])
+                ap["c_frow"]([s[3] for s in cs])
+                ap["c_sid"]([s[4] for s in cs])
+                ap["c_srow"]([s[5] for s in cs])
+        return pd.DataFrame(cols)
+
+    # optimizer fence — see make_span_extractor; prevents double evaluation
+    return fused_udf.asNondeterministic()

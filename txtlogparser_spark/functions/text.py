@@ -1,0 +1,82 @@
+"""Text-analysis functions for training-data pipelines — pure Catalyst
+column expressions (JVM, whole-stage codegen) unless noted.
+
+- token counting: whitespace + regex (BPE-ish segmentation count)
+- quality scoring: length/punctuation/stopword ratios
+- language ID: stopword-profile n-gram heuristic (per-language stopword
+  hit ratios → argmax), expressible as a CASE over computed ratios
+- document fingerprinting: md5 content digest + rolling-hash prefix
+  fingerprint for fuzzy clustering
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Minimal stopword profiles (public, conventional function-word lists).
+LANG_STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "en", "que", "los"),
+    "fr": ("le", "la", "de", "et", "en", "que", "les"),
+    "de": ("der", "die", "das", "und", "in", "zu", "den"),
+}
+
+
+def whitespace_token_count(text_col: str = "text") -> Column:
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def regex_token_count(text_col: str = "text", pattern: str = "[A-Za-z0-9]+") -> Column:
+    return F.regexp_count(F.col(text_col), F.lit(pattern))
+
+
+def stopword_ratio(text_col: str = "text", stopwords: Sequence[str] = ("a", "the")) -> Column:
+    words = F.split(F.col(text_col), " ")
+    stops = F.size(F.filter(words, lambda w: F.lower(w).isin(*stopwords)))
+    return F.round(stops / F.size(words), 6)
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    n = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"]", ""))
+    return F.when(n > 0, F.round(punct / n, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation
+    noise, sane mean word length. Deterministic, tunable weights."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    mean_len = F.when(n_words > 0, F.length(F.col(text_col)) / n_words).otherwise(0.0)
+    len_ok = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    word_ok = F.when((mean_len >= 3) & (mean_len <= 12), 1.0).otherwise(0.5)
+    noise = punct_ratio(text_col)
+    return F.round(len_ok * 0.4 + word_ok * 0.4 + (1 - F.least(noise * 5, F.lit(1.0))) * 0.2, 6)
+
+
+def langid_heuristic(text_col: str = "text") -> Column:
+    """Argmax of stopword-profile hit ratios; 'und' (undetermined) when no
+    profile fires. Pure CASE expression — no UDF."""
+    words = F.transform(F.split(F.col(text_col), " "), F.lower)
+
+    def hit(sw):
+        return lambda w: w.isin(*sw)
+
+    ratios = {
+        lang: F.size(F.filter(words, hit(sw))) / F.size(words)
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = None
+    for lang, r in ratios.items():
+        best = r if best is None else F.greatest(best, r)
+    expr = F.lit("und")
+    for lang, r in reversed(list(ratios.items())):
+        expr = F.when((r == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text_col: str = "text", length: int = 16) -> Column:
+    return F.substring(F.md5(F.col(text_col)), 1, length)

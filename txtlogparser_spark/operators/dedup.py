@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+All shapes chosen for 100 TB scale:
+- exact: hash-groupBy on a content digest — one shuffle of (digest, id),
+  never of full text.
+- minhash_lsh: shingle → K minhashes → B bands → bucket-join. Candidate
+  generation shuffles only (band_key, doc_id) pairs; full O(n²) never
+  materializes. Hashing is md5-hex-substring based (deterministic,
+  portable — identical in Spark SQL, DuckDB, and Python, so the same
+  pipeline is oracle-checkable).
+- simhash: 64-bit charge vector over word hashes; near-dup = small
+  Hamming distance. Bucketed by 16-bit chunks (Charikar-style) so
+  candidate pairs come from equality joins on chunk values.
+- ngram_jaccard: exact verification of candidate pairs (or small-corpus
+  exhaustive mode) via shingle-explode self-join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def content_fingerprint(col: str = "text") -> Column:
+    """Deterministic digest; md5 matches DuckDB/Python for oracles."""
+    return F.md5(F.col(col))
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tag each row with its group keeper (min key per content digest)."""
+    w = Window.partitionBy(content_fingerprint(text_col))
+    return df.withColumn("keeper_id", F.min(key).over(w)).withColumn(
+        "is_dup", F.col(key) != F.col("keeper_id")
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a space-tokenized text column.
+    Pure Catalyst (split/sequence/transform) — no UDF."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(key, F.explode(word_shingles(text_col, n)).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, key: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """K minhashes per doc: min over shingles of substr(md5(seed:shingle),1,8).
+    Fixed-width hex compares lexicographically == numerically, so `min`
+    over the hex string IS the minhash. One explode by K (seeds), one
+    groupBy — partial aggregation keeps the shuffle at (key, seed, min)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(key, seeds, "shingle").withColumn(
+        "h",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+            1,
+            8,
+        ),
+    )
+    return (
+        hashed.groupBy(key, "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    # zero-pad the seed so lexicographic sort == seed order
+                    F.concat_ws("=", F.format_string("%02d", "seed"), "mh")
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidates. Output distinct (doc_a < doc_b) pairs."""
+    nbands = num_hashes // band_size
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nbands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * band_size + 1, band_size)
+                    )
+                ).alias("bkey"),
+            ),
+        )
+    ).alias("bd")
+    banded = signatures.select(key, bands).select(
+        key, F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pairs with shingle-Jaccard ≥ threshold. With `candidates`
+    (doc_a, doc_b) the intersection join is restricted to them (LSH
+    verify step); without, the shingle self-join explores all co-shingled
+    pairs (exhaustive — small corpora only)."""
+    sh = shingle_table(df, key, text_col, n)
+    cnt = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .groupBy(
+            F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "leftsemi")
+    ca = cnt.select(F.col(key).alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col(key).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jacc") >= threshold)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+# SimHash over a precomputed word-hash array column `_wh` (SQL expression:
+# the DataFrame API's shiftright/shiftleft take Python-int shift amounts,
+# but the SQL functions accept column operands, which the per-bit lambda
+# needs).
+_SIMHASH_SQL = """
+aggregate(
+  sequence(0, 63),
+  cast(0 as bigint),
+  (acc, b) -> acc + IF(
+    aggregate(_wh, 0, (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+    shiftleft(cast(1 as bigint), b),
+    cast(0 as bigint)))
+"""
+
+
+def with_simhash64(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, sh): 64-bit SimHash — per word xxhash64, per bit position sum
+    ±1 charges, keep sign bits. Pure Catalyst aggregate over arrays: no
+    UDF, no shuffle; word hashes computed once per row."""
+    return df.select(
+        key,
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias(
+            "_wh"
+        ),
+    ).select(key, F.expr(_SIMHASH_SQL).alias("sh"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Charikar bucketing: split the 64-bit simhash into 4×16-bit chunks;
+    pairs within Hamming distance ≤ 3 share at least one exact chunk
+    (pigeonhole), so candidates come from 4 equality joins, then exact
+    Hamming verification via bit_count(xor)."""
+    sh = with_simhash64(df, key, text_col)
+    chunks = F.explode(
+        F.expr(
+            "transform(sequence(0, 3), "
+            "c -> struct(c as chunk, shiftright(sh, c * 16) & 65535 as ckey))"
+        )
+    ).alias("cd")
+    bucketed = sh.select(key, "sh", chunks).select(
+        key, "sh", F.col("cd.chunk").alias("chunk"), F.col("cd.ckey").alias("ckey")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("doc_a"),
+            F.col(f"b.{key}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from txtlogparser_spark.config import WorkspaceConfig
 from txtlogparser_spark.functions.detokenize import make_detokenizer
-from txtlogparser_spark.functions.spans import attach_spans
+from txtlogparser_spark.functions.spans import (
+    assemble_spans,
+    attach_spans,
+    make_fused_extractor,
+)
+from txtlogparser_spark.functions.token_prefilter import token_survival_prefilter
 from txtlogparser_spark.operators.aggregate import filter_metrics, search_metrics
 from txtlogparser_spark.operators.enrich import enrich_with_sources
 from txtlogparser_spark.operators.route import (
@@ -136,8 +141,58 @@ class LogPipeline:
         return search_metrics(routed)
 
     # ---- one-call plan ----
-    def run(self, seqs: DataFrame, *, with_search: bool = True) -> DataFrame:
-        return self.routed(self.enriched(self.parsed(seqs)), with_search=with_search)
+    def run(
+        self, seqs: DataFrame, *, with_search: bool = True, fused: bool = True
+    ) -> DataFrame:
+        """Full plan. `fused=True` (default) uses the scale path:
+
+        token-level JVM prefilter (no detokenize needed to prune)
+          → ONE fused Arrow UDF (detokenize + span extraction)
+          → JVM survival / enrich / route.
+
+        `fused=False` keeps the didactic stage-by-stage plan (detokenize
+        UDF → text prefilter → span UDF); both produce identical results
+        (tests/test_pipeline_e2e.py runs the fused path against the
+        oracle; test_fused_paths_agree pins fused == unfused)."""
+        if not fused:
+            return self.routed(
+                self.enriched(self.parsed(seqs)), with_search=with_search
+            )
+        filters = self.ws.enabled_filters()
+        searches = self.ws.enabled_searches() if with_search else []
+
+        df = seqs
+        if self.salt_buckets > 0:
+            df = df.repartition(
+                F.col("source"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets)),
+            )
+        tok_pre = token_survival_prefilter(filters, self.vocab)
+        if tok_pre is not None:
+            df = df.where(tok_pre)
+        df = df.withColumn(
+            "line_no", F.substring_index("doc_id", "-", -1).cast("int")
+        )
+        fused_udf = make_fused_extractor(
+            self.vocab, filters, searches, include_search=with_search
+        )
+        df = df.withColumn("_flat", fused_udf(F.col("tokens")))
+        df = df.withColumn("text", F.col("_flat.text")).withColumn(
+            "filter_spans", assemble_spans("_flat", kind="filter")
+        )
+        if with_search:
+            df = df.withColumn("search_spans", assemble_spans("_flat", kind="search"))
+        df = df.drop("_flat")
+        if filters:
+            df = df.where(filter_predicate(F.col("filter_spans")))
+        df = self.enriched(df)
+        if filters:
+            df = df.withColumn(
+                "route", route_tag_column(filters, F.col("filter_spans"))
+            )
+        else:
+            df = df.withColumn("route", F.lit(-1))
+        return df
 
     def write_sinks(self, routed: DataFrame, out_dir: str) -> None:
         """Fan-out: ONE pass writes every route's sink via partitioned write
