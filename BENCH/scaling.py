@@ -33,6 +33,9 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .appName("scaling-trial")
     .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", "16m")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+    .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
     .config("spark.driver.memory", "48g")
     .config("spark.ui.enabled", "false")
     .getOrCreate())

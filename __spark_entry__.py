@@ -335,6 +335,187 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: search-over-filter span overlay (OutputData.cpp:389-501) —
+    per routed line, the combined span decomposition's tile counts.
+    Span offsets are not ANSI-SQL-expressible → rows-only driver check;
+    overlay split semantics pinned vs the oracle in pytest."""
+    ws = driver_workspace()
+    filters = ws.enabled_filters()
+    searches = ws.enabled_searches()
+    df = _docs(spark, sf_dir).where(
+        survival_prefilter(filters, F.col("text"), spark)
+    )
+    df = attach_spans(
+        df, "text", filters, searches, include_search=True, include_combined=True
+    )
+    df = df.where(filter_predicate(F.col("filter_spans")))
+    return df.select(
+        "doc_id",
+        F.size("combined_spans").alias("n_tiles"),
+        F.size(
+            F.filter("combined_spans", lambda s: s.filter_id != -1)
+        ).alias("n_filter_tiles"),
+        F.size(
+            F.filter("combined_spans", lambda s: s.search_id != -1)
+        ).alias("n_search_tiles"),
+    )
+
+
+def q_log_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 offset paging: rows 101-200 of the global total order — the
+    row_number() BETWEEN form (OutputWindow.cpp:22-45 window slide)."""
+    lines = _doc_lines(spark, sf_dir)
+    w = Window.orderBy("source_rank", "line_no")
+    return (
+        lines.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") >= 101) & (F.col("rn") <= 200))
+        .select(
+            F.col("rn").cast("long").alias("rn"),
+            F.format_string(
+                "%03d [%02d:%06d]", "rn", "source_rank", F.col("line_no") + 1
+            ).alias("display_prefix"),
+            "doc_id",
+        )
+    )
+
+
+def q_log_nav_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 batch analog (getNextMatchByFilter, OutputData.cpp:526-575):
+    for each filter, the next matching line in the ordered surviving set
+    strictly after cursor output_index=10, wrapping to the globally first
+    matching line (upper_bound-then-begin())."""
+    routed = _routed(spark, sf_dir)
+    idx = routed.withColumn(
+        "output_index",
+        F.row_number().over(Window.orderBy("source", "doc_id")) - 1,
+    )
+    hits = idx.select(
+        F.col("output_index").cast("long").alias("output_index"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter("filter_spans", lambda s: s.filter_id != -1),
+                    lambda s: s.filter_id,
+                )
+            )
+        ).alias("filter_id"),
+    )
+    return (
+        hits.groupBy("filter_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("output_index") > 10, F.col("output_index"))),
+                F.min("output_index"),
+            ).alias("next_index")
+        )
+        .orderBy("filter_id")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text payload as opaque binary → mapInPandas
+    Arrow-batched feature extraction (operators/multimodal.py). The
+    decode step is the deterministic md5-derived stand-in (real codecs
+    are stubbed: this container ships none); the distributed plumbing —
+    binary column, meta struct, batch iteration, feature schema — is the
+    real path and the feat_sum checksum is reproduced bit-exactly by the
+    DuckDB oracle's md5-byte arithmetic."""
+    from txtlogparser_spark.operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("feat_sum"),
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked: pairs are compared
+    only within a blocking key (label) so the join shuffles on the block
+    key and the per-block O(n²) stays bounded — the scalable blocked shape
+    of embedding dedup (ANN-LSH is the unblocked scale path, q_ann_lsh_topk)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", dot / (norm(F.col("a.v")) * norm(F.col("b.v"))))
+        .where(F.col("sim") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("sim", 4).alias("sim_r"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain broadcast join: supplier ⋈ nation ⋈ region."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("supplier_count"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dimension broadcast join + computed-measure aggregate:
+    discounted revenue per part brand (decimal math for determinism)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -361,6 +542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_deltas": q_user_event_deltas,
         "customers_without_orders": q_customers_without_orders,
         "orders_rollup": q_orders_rollup,
+        "log_overlay": q_log_overlay,
+        "log_page_offset": q_log_page_offset,
+        "log_nav_next": q_log_nav_next,
+        "multimodal_features": q_multimodal_features,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "suppliers_per_region": q_suppliers_per_region,
+        "brand_revenue": q_brand_revenue,
     }
 
 
@@ -606,6 +794,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, o_orderpriority)
             ORDER BY n_name, o_orderpriority
+        """,
+        # log_overlay: span-offset overlay not ANSI-SQL-expressible →
+        # rows-only check; split semantics pinned in pytest vs the oracle.
+        "log_page_offset": """
+            WITH l AS (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS line_no,
+                dense_rank() OVER (ORDER BY source) - 1 AS source_rank
+              FROM documents
+            ), o AS (
+              SELECT *, row_number() OVER (ORDER BY source_rank, line_no) AS rn FROM l
+            )
+            SELECT rn, printf('%03d [%02d:%06d]', rn, source_rank, line_no + 1) AS display_prefix, doc_id
+            FROM o WHERE rn BETWEEN 101 AND 200
+        """,
+        "log_nav_next": f"""
+            WITH surv AS (
+              SELECT doc_id, source, text FROM documents WHERE {_SQL_SURVIVAL}
+            ), idx AS (
+              SELECT doc_id, text,
+                row_number() OVER (ORDER BY source, doc_id) - 1 AS output_index
+              FROM surv
+            ), hits AS (
+              SELECT output_index, 201 AS filter_id FROM idx WHERE {_SQL_F201}
+              UNION ALL SELECT output_index, 202 FROM idx WHERE {_SQL_F202}
+              UNION ALL SELECT output_index, 203 FROM idx WHERE {_SQL_F203}
+              UNION ALL SELECT output_index, 204 FROM idx WHERE {_SQL_F204}
+            )
+            SELECT filter_id,
+              coalesce(MIN(CASE WHEN output_index > 10 THEN output_index END),
+                       MIN(output_index)) AS next_index
+            FROM hits GROUP BY filter_id ORDER BY filter_id
+        """,
+        "multimodal_features": """
+            SELECT doc_id, 'text' AS modality,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              ROUND(list_sum([
+                (CAST('0x' || substr(md5(text), 4*i+1, 2) AS INT)
+                 + 256 * CAST('0x' || substr(md5(text), 4*i+3, 2) AS INT)) / 65536.0
+                for i in range(0, 8)]), 4) AS feat_sum
+            FROM documents
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+            ORDER BY vec_a, vec_b
+        """,
+        "suppliers_per_region": """
+            SELECT r_name, COUNT(*) AS supplier_count,
+              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
         """,
     }
 

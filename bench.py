@@ -95,6 +95,14 @@ def main():
         .appName("txtlogparser-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 32)))
         .config("spark.sql.adaptive.enabled", "true")
+        # split the (row-group-sized) parquet scan finely enough that the
+        # Arrow UDF stage saturates all cores even on a 50%-hot source
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # G1 degrades into full-GC spirals on repeated wide parquet writes
+        # (humongous row-group buffers); ParallelGC stays flat. Smaller
+        # row groups bound per-writer buffering across the 20 leaf columns.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

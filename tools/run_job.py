@@ -1,0 +1,93 @@
+"""spark-submit entry point for the log pipeline (north_star launch mode).
+
+Launch (multi-executor layout; local[N] in this sandbox):
+
+    cd /root/repo && zip -qr /tmp/tlp.zip txtlogparser_spark
+    spark-submit --master 'local[8]' --py-files /tmp/tlp.zip \
+        tools/run_job.py --data .bench_data/seq_2000000 --out /tmp/run_out
+
+Runs parse → enrich → route → aggregate over the sequences table, writes
+the routed sink (partitioned by route, source), the per-filter/search
+metrics tables, and a run manifest; prints a one-line JSON summary.
+No repo imports besides the shipped --py-files zip: this file must stay
+runnable from a bare spark-submit with only the zip on the PYTHONPATH.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="fixture dir (sequences/ + source_info.parquet)")
+    ap.add_argument("--out", required=True, help="output dir for sinks + metrics")
+    ap.add_argument("--workspace", default=None, help="workspace config JSON (default: fixture workspace)")
+    ap.add_argument("--no-search", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("txtlogparser-spark-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from txtlogparser_spark.config import WorkspaceConfig
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.plans.lineage import RunManifest, new_run_id
+    from txtlogparser_spark.sources.fixtures import build_vocab, default_workspace
+
+    if args.workspace:
+        with open(args.workspace) as fh:
+            ws = WorkspaceConfig.from_dict(json.load(fh))
+    else:
+        ws = default_workspace()
+
+    info = spark.read.parquet(os.path.join(args.data, "source_info.parquet"))
+    pipe = LogPipeline(spark, ws, build_vocab(), source_info=info)
+    seqs = pipe.load_sequences(os.path.join(args.data, "sequences"))
+
+    run_id = new_run_id()
+    manifest = RunManifest(
+        run_id=run_id,
+        config_digest=ws.digest(),
+        input_path=args.data,
+        out_dir=args.out,
+    )
+    manifest.save()
+
+    t0 = time.perf_counter()
+    routed = pipe.run(seqs, with_search=not args.no_search)
+    pipe.write_sinks(routed, args.out)
+    sink = spark.read.parquet(os.path.join(args.out, "routed"))
+    n = sink.count()
+    fc = pipe.filter_counts(sink)
+    fc.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "metrics_filters"))
+    if not args.no_search:
+        sc = pipe.search_counts(sink)
+        sc.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "metrics_searches"))
+    dt = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "run_id": run_id,
+                "rows_routed": n,
+                "wall_sec": round(dt, 2),
+                "out": args.out,
+                "filter_counts": {
+                    str(r["filter_id"]): [r["occurrence_count"], r["line_count"]]
+                    for r in spark.read.parquet(
+                        os.path.join(args.out, "metrics_filters")
+                    ).collect()
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

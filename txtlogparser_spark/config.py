@@ -163,6 +163,17 @@ class WorkspaceConfig:
             "sources": [asdict(s) for s in self.sources],
         }
 
+    def digest(self) -> str:
+        """Stable content digest of the config — keyed into run manifests
+        so a resume can refuse to continue under a changed workspace
+        (the pipeline is only deterministic per (config, input))."""
+        import hashlib
+        import json as _json
+
+        return hashlib.md5(
+            _json.dumps(self.to_dict(), sort_keys=True).encode()
+        ).hexdigest()
+
 
 def _matcher_from_dict(cls, d: dict):
     # Defaulted-field load semantics as in FilterData.cpp:53-64.

@@ -103,6 +103,13 @@ def extract_features(
     """
     dec = decoder or deterministic_fake_decoder(dim)
 
+    # inherit the caller's key type (string here, int64 in e.g. the driver
+    # `documents` table) instead of forcing a cast
+    out_schema = StructType(
+        [media.schema["doc_id"]]
+        + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
@@ -118,7 +125,7 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -147,18 +147,39 @@ def default_workspace() -> WorkspaceConfig:
 
 
 def write_fixture_tables(
-    out_dir: str, spec: FixtureSpec, *, partition_by_source: bool = True
+    out_dir: str,
+    spec: FixtureSpec,
+    *,
+    partition_by_source: bool = True,
+    row_group_rows: int = 32_768,
 ) -> Tuple[str, str]:
     """Write sequences (partitioned by source — the Iceberg partition-spec
-    analog enabling partition pruning on source selection) + source_info."""
+    analog enabling partition pruning on source selection) + source_info.
+
+    `row_group_rows` bounds parquet row-group size: Spark splits files at
+    row-group granularity, so a hot source written as one giant row group
+    would serialize the whole scan+UDF stage into a single task (observed
+    10-30x slowdown). Small row groups keep even a 50%-hot source
+    splittable across executors with no repartition shuffle — the same
+    reason Iceberg targets many row groups per 128MB file."""
     os.makedirs(out_dir, exist_ok=True)
     seq = generate_sequences(spec)
     seq_path = os.path.join(out_dir, "sequences")
     if partition_by_source:
-        pq.write_to_dataset(seq, seq_path, partition_cols=["source"])
+        pq.write_to_dataset(
+            seq,
+            seq_path,
+            partition_cols=["source"],
+            max_rows_per_group=row_group_rows,
+            min_rows_per_group=min(row_group_rows, 4096),
+        )
     else:
         os.makedirs(seq_path, exist_ok=True)
-        pq.write_table(seq, os.path.join(seq_path, "part-0.parquet"))
+        pq.write_table(
+            seq,
+            os.path.join(seq_path, "part-0.parquet"),
+            row_group_size=row_group_rows,
+        )
     info_path = os.path.join(out_dir, "source_info.parquet")
     pq.write_table(generate_source_info(spec), info_path)
     return seq_path, info_path
