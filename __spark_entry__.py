@@ -516,6 +516,20 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting: whole-doc Rabin-Karp
+    polynomial hash + winnowing-style min 8-gram hash. Pure Catalyst
+    higher-order functions, exactly reproduced by the DuckDB oracle's
+    list_reduce arithmetic."""
+    from txtlogparser_spark.functions.text import min_kgram_hash, rolling_hash
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        rolling_hash().alias("rhash"),
+        min_kgram_hash(k=8).alias("min_gram"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -549,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "suppliers_per_region": q_suppliers_per_region,
         "brand_revenue": q_brand_revenue,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     }
 
 
@@ -860,6 +875,26 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        "doc_rolling_fingerprint": """
+            WITH c AS (
+              SELECT doc_id, text,
+                [CAST(ascii(substr(text, i, 1)) AS BIGINT)
+                 for i in range(1, length(text) + 1)] AS chars
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN len(chars) = 0 THEN 0 ELSE
+                list_reduce(chars, (a, b) -> (a * 31 + b) % 1000000007)
+              END AS rhash,
+              CASE WHEN len(chars) < 8 THEN
+                CASE WHEN len(chars) = 0 THEN 0 ELSE
+                  list_reduce(chars, (a, b) -> (a * 31 + b) % 1000000007) END
+              ELSE
+                list_min([list_reduce(chars[i+1:i+8], (a, b) -> (a * 31 + b) % 1000000007)
+                          for i in range(0, len(chars) - 7)])
+              END AS min_gram
+            FROM c
         """,
     }
 

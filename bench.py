@@ -72,15 +72,33 @@ def run_pipeline_bench(spark) -> tuple[int, float]:
     seqs = pipe.load_sequences(f"{data_dir}/sequences")
     sink = os.path.join(BENCH_DIR, "routed_sink")
     shutil.rmtree(sink, ignore_errors=True)
+    import pyspark.sql.functions as F
+
     t0 = time.perf_counter()
+    from txtlogparser_spark.operators.aggregate import (
+        filter_metrics_flat,
+        search_metrics_flat,
+    )
+
     # ONE pipeline execution: routed rows land in the sink; aggregates
-    # read the (columnar, pruned) sink instead of recomputing the UDF
-    routed = pipe.run(seqs)
+    # read the (columnar, pruned) sink instead of recomputing the UDF.
+    # with_text=False + assembled=False is the at-scale sink shape: the
+    # per-row invariant is token-array equality, spans are stored as flat
+    # int-list columns (cheaper to encode, and a metrics read scans ONE
+    # narrow column), display text is detokenized per page on read.
+    routed = pipe.run(seqs, with_text=False, assembled=False)
     routed.write.mode("overwrite").parquet(sink)
     routed_sink = spark.read.parquet(sink)
     n = routed_sink.count()
-    pipe.filter_counts(routed_sink).collect()
-    pipe.search_counts(routed_sink).collect()
+    filter_metrics_flat(routed_sink).collect()
+    search_metrics_flat(routed_sink).collect()
+    # render-on-demand display window (OutputData.cpp:504-524 analog);
+    # project before the top-k so TakeOrdered carries narrow rows
+    pipe.display_text(
+        routed_sink.select("doc_id", "tokens", "source_rank", "line_no")
+        .orderBy("source_rank", "line_no")
+        .limit(100)
+    ).collect()
     dt = time.perf_counter() - t0
     return n, dt
 
@@ -97,7 +115,7 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         # split the (row-group-sized) parquet scan finely enough that the
         # Arrow UDF stage saturates all cores even on a 50%-hot source
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # G1 degrades into full-GC spirals on repeated wide parquet writes
         # (humongous row-group buffers); ParallelGC stays flat. Smaller
         # row groups bound per-writer buffering across the 20 leaf columns.
@@ -109,6 +127,23 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm JVM codegen + Python/Arrow workers once so the first headline
+    # query isn't charged the cold-start (protocol excludes startup)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try:
+        import pandas as _pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s):
+            return s
+
+        spark.range(1000).select(_warm("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
 
     qs = entry_mod.queries()
     per_query: dict[str, float] = {}

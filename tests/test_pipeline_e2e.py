@@ -196,6 +196,31 @@ class TestFusedPath:
         )
         assert ka == kb
 
+    def test_salted_repartition_preserves_results(self, spark, fixture_dir):
+        """Skew defusal (SURVEY.md §4 #2): the salted repartition before
+        the wide stages must not change routed rows, spans, or counts."""
+        vocab = build_vocab()
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        plain = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+        salted = LogPipeline(
+            spark, default_workspace(), vocab, source_info=info, salt_buckets=4
+        )
+        seqs = plain.load_sequences(f"{fixture_dir}/sequences")
+        key = lambda df: sorted(
+            (r["doc_id"], r["route"], tuple(map(tuple, r["filter_spans"])))
+            for r in df.select("doc_id", "route", "filter_spans").collect()
+        )
+        assert key(plain.run(seqs)) == key(salted.run(seqs))
+        ca = {
+            r["filter_id"]: (r["occurrence_count"], r["line_count"])
+            for r in plain.filter_counts(plain.run(seqs)).collect()
+        }
+        cb = {
+            r["filter_id"]: (r["occurrence_count"], r["line_count"])
+            for r in salted.filter_counts(salted.run(seqs)).collect()
+        }
+        assert ca == cb
+
     def test_token_prefilter_is_sound(self, spark, fixture_dir):
         # prefiltered row set ⊇ surviving row set, and counts identical
         # with prefilter force-disabled

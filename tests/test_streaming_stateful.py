@@ -1,0 +1,114 @@
+"""Stateful streaming operators: applyInPandasWithState sessionization
+(state carried across micro-batches) and watermarked windowed route
+counts (late-data-bounded state, append-mode finalized windows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from txtlogparser_spark.streaming.stateful import (
+    sessionize,
+    watermarked_route_counts,
+)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(stream_df, out_dir, name):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, name))
+        .option("checkpointLocation", os.path.join(out_dir, f"_ckpt_{name}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_sessionize_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "out")
+
+    # batch 1: user 1 has two events 10s apart (one open session);
+    # user 2 one event (open session, never closed)
+    _write_events(
+        spark,
+        src,
+        [(1, ts(0), 1.0), (1, ts(10), 2.0), (2, ts(5), 7.0)],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize(stream, gap_seconds=1800)
+    _drain(sessions, out, "sessions")
+
+    # batch 2: user 1 event far beyond the gap → closes session 1
+    _write_events(spark, src, [(1, ts(7200), 3.0)])
+    _drain(sessions, out, "sessions")
+
+    got = spark.read.parquet(os.path.join(out, "sessions")).collect()
+    closed = {(r["user_id"], r["n_events"], r["value_sum"]) for r in got}
+    assert (1, 2, 3.0) in closed, got
+    starts = {r["user_id"]: r["session_start"] for r in got}
+    assert starts[1] == ts(0)
+    ends = {r["user_id"]: r["session_end"] for r in got}
+    assert ends[1] == ts(10)
+    # user 2's session is still open → not emitted
+    assert all(r["user_id"] != 2 for r in got)
+
+
+def test_watermarked_route_counts(spark, tmp_path):
+    src = str(tmp_path / "routed_in")
+    out = str(tmp_path / "out")
+
+    rows1 = [
+        (201, ts(600)),
+        (201, ts(1200)),
+        (202, ts(1800)),
+    ]
+    df1 = spark.createDataFrame(rows1, "route int, ts timestamp")
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = watermarked_route_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours"
+    )
+    _drain(counts, out, "counts")
+
+    # advance the watermark far past the first window: event at +6h
+    # → watermark 4h → the 00:00-01:00 window finalizes and appends
+    df2 = spark.createDataFrame([(203, ts(6 * 3600))], "route int, ts timestamp")
+    df2.coalesce(1).write.mode("append").parquet(src)
+    _drain(counts, out, "counts")
+
+    got = spark.read.parquet(os.path.join(out, "counts")).collect()
+    finalized = {(r["route"], r["n"]) for r in got if r["window_start"] == ts(0)}
+    assert (201, 2) in finalized, got
+    assert (202, 1) in finalized, got
+    # the +6h window is not finalized yet → absent
+    assert all(r["window_start"] != ts(6 * 3600) for r in got)

@@ -1,0 +1,234 @@
+"""Token-table fast path (functions/token_spans.py) equality tests.
+
+The fast path claims: for word-local matchers, per-line span decomposition
+== concatenation of per-vocab-word decompositions with merged unclaimed
+gaps. These tests pin that equality against the generic whole-line
+extractor (itself pinned against the pure-Python oracle port of
+FilterData.cpp/OutputData.cpp by test_spans_property.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from txtlogparser_spark.config import FilterSpec, SearchSpec
+from txtlogparser_spark.functions.spans import _matcher_table, extract_line_spans
+from txtlogparser_spark.functions.token_spans import (
+    build_word_tables,
+    matchers_word_local,
+    pattern_word_local,
+    spans_for_ids,
+)
+
+# A vocabulary exercising every matcher quirk word-locally: case variants,
+# underscores (isalnum-vs-\b divergence), repeated substrings (greedy
+# advance quirk), digits, and plain filler.
+VOCAB = [
+    "ERROR", "Error", "error", "errors", "WARN", "warn", "warning",
+    "conn_error", "db_conn_error", "_retry_", "retry", "aaa", "abab", "aa",
+    "code=200", "code=404", "latency=123ms", "latency=7ms", "x", "filler",
+    "w0001", "w0002", "GET", "POST",
+]
+
+
+def _spans_via_tokens(ids, filters, searches, want_combined=True):
+    wlen, has_claim, ff, sf, cf = build_word_tables(
+        VOCAB, filters, searches, want_search=True, want_combined=want_combined
+    )
+    return spans_for_ids(
+        np.asarray(ids, dtype=np.int64),
+        wlen,
+        has_claim,
+        ff,
+        sf,
+        cf,
+        want_search=True,
+        want_combined=want_combined,
+    )
+
+
+def _spans_via_text(ids, filters, searches, want_combined=True):
+    text = " ".join(VOCAB[i] for i in ids)
+    ftab = _matcher_table(filters)
+    stab = _matcher_table(searches)
+    return extract_line_spans(text, ftab, stab, want_combined)
+
+
+WORKSPACES = [
+    # all 4 flag combos, non-regex + regex, in orders that force claiming
+    (
+        [
+            FilterSpec(201, 0, "ERROR", caseSensitive=True),
+            FilterSpec(202, 1, "warn", caseSensitive=False, wholeWord=True),
+            FilterSpec(203, 2, r"code=\d+", caseSensitive=False, regex=True),
+            FilterSpec(204, 3, r"conn_error", caseSensitive=False, wholeWord=True, regex=True),
+        ],
+        [
+            SearchSpec(301, 0, "latency", caseSensitive=False),
+            SearchSpec(302, 1, r"\d+ms", caseSensitive=False, regex=True),
+        ],
+    ),
+    # overlap-bait: earlier filter claims inside words later filters want
+    (
+        [
+            FilterSpec(201, 0, "aa", caseSensitive=True),
+            FilterSpec(202, 1, "ab", caseSensitive=True),
+            FilterSpec(203, 2, "a", caseSensitive=True, wholeWord=True),
+        ],
+        [SearchSpec(301, 0, "b", caseSensitive=True)],
+    ),
+    # whole-word quirks: underscore boundary divergence non-regex vs \b
+    (
+        [
+            FilterSpec(201, 0, "retry", caseSensitive=False, wholeWord=True),
+            FilterSpec(202, 1, r"retry", caseSensitive=False, wholeWord=True, regex=True),
+            FilterSpec(203, 2, "error", caseSensitive=False, wholeWord=True),
+        ],
+        [SearchSpec(301, 0, r"err\w+", caseSensitive=False, regex=True)],
+    ),
+]
+
+
+@pytest.mark.parametrize("ws_idx", range(len(WORKSPACES)))
+def test_token_tables_match_generic_extractor(ws_idx):
+    filters, searches = WORKSPACES[ws_idx]
+    assert matchers_word_local(filters, searches)
+    rng = np.random.RandomState(7 + ws_idx)
+    for _ in range(300):
+        k = rng.randint(1, 30)
+        ids = rng.randint(0, len(VOCAB), size=k).tolist()
+        got = _spans_via_tokens(ids, filters, searches)
+        want = _spans_via_text(ids, filters, searches)
+        assert got[0] == want[0], f"filter spans differ for ids={ids}"
+        assert got[1] == want[1], f"search spans differ for ids={ids}"
+        assert got[2] == want[2], f"combined spans differ for ids={ids}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ids=st.lists(st.integers(0, len(VOCAB) - 1), min_size=1, max_size=20),
+    ws_idx=st.integers(0, len(WORKSPACES) - 1),
+)
+def test_token_tables_property(ids, ws_idx):
+    filters, searches = WORKSPACES[ws_idx]
+    got = _spans_via_tokens(ids, filters, searches)
+    want = _spans_via_text(ids, filters, searches)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+    assert got[2] == want[2]
+
+
+def test_empty_ids():
+    filters, searches = WORKSPACES[0]
+    fs, ss, cs = _spans_via_tokens([], filters, searches)
+    assert fs == [(0, 0, -1, -1, -1, -1)]
+
+
+def test_word_locality_gate():
+    ok = [
+        ("ERROR", False),
+        ("code=\\d+", True),
+        ("\\bconn_error\\b", True),
+        ("b(ig|atch)", True),
+        ("[abc]+x", True),
+    ]
+    bad = [
+        ("two words", False),   # literal separator
+        ("a b", True),
+        (r"\s+", True),         # class containing space
+        (r"\W", True),
+        ("^start", True),       # anchor
+        ("end$", True),
+        (r"foo(?= bar)", True), # lookahead
+        ("a.c", True),          # dot matches separator
+        ("[^x]+", True),        # negated class
+        ("a*", True),           # can match empty → positions at separator
+        ("(x|)", True),
+    ]
+    for pat, is_re in ok:
+        assert pattern_word_local(pat, is_re), pat
+    for pat, is_re in bad:
+        assert not pattern_word_local(pat, is_re), pat
+
+
+def test_pipeline_paths_agree(spark, tmp_path):
+    """Spark-level: token-table plan == generic fused plan on fixture data."""
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.sources.fixtures import (
+        FixtureSpec,
+        build_vocab,
+        default_workspace,
+        write_fixture_tables,
+    )
+
+    out = str(tmp_path / "fix")
+    write_fixture_tables(out, FixtureSpec(n_rows=2000, n_sources=3, seed=11))
+    info = spark.read.parquet(f"{out}/source_info.parquet")
+    ws = default_workspace()
+    assert matchers_word_local(ws.enabled_filters(), ws.enabled_searches())
+    pipe = LogPipeline(spark, ws, build_vocab(), source_info=info)
+    seqs = pipe.load_sequences(f"{out}/sequences")
+
+    cols = ["doc_id", "text", "filter_spans", "search_spans", "route"]
+    fast = {
+        r["doc_id"]: r
+        for r in pipe.run(seqs, token_tables=True, arrow_path=False)
+        .select(cols)
+        .collect()
+    }
+    slow = {
+        r["doc_id"]: r
+        for r in pipe.run(seqs, token_tables=False).select(cols).collect()
+    }
+    arrow = {
+        r["doc_id"]: r
+        for r in pipe.run(seqs, token_tables=True, arrow_path=True)
+        .select(cols)
+        .collect()
+    }
+    assert set(fast) == set(slow) == set(arrow)
+    assert len(fast) > 0
+    for k in fast:
+        assert fast[k] == slow[k], f"row {k} differs (pandas-token vs generic)"
+        assert arrow[k] == slow[k], f"row {k} differs (arrow vs generic)"
+
+    # with_text=False: same spans/route, text reconstructible on demand
+    slim = pipe.run(seqs, token_tables=True, with_text=False)
+    assert "text" not in slim.columns
+    redone = {
+        r["doc_id"]: r
+        for r in pipe.display_text(slim).select(cols).collect()
+    }
+    assert set(redone) == set(fast)
+    for k in fast:
+        assert redone[k] == fast[k], f"slim row {k} differs"
+
+    # flat sink shape (assembled=False): same survival/routes, and the
+    # flat metrics equal the assembled metrics
+    from txtlogparser_spark.operators.aggregate import (
+        filter_metrics,
+        filter_metrics_flat,
+        search_metrics,
+        search_metrics_flat,
+    )
+
+    flat = pipe.run(seqs, with_text=False, assembled=False)
+    assert "filter_spans" not in flat.columns and "f_id" in flat.columns
+    routes_flat = sorted(
+        (r["doc_id"], r["route"]) for r in flat.select("doc_id", "route").collect()
+    )
+    routes_asm = sorted((k, fast[k]["route"]) for k in fast)
+    assert routes_flat == routes_asm
+    asm = pipe.run(seqs, with_text=False)
+    fm = {r["filter_id"]: (r["occurrence_count"], r["line_count"])
+          for r in filter_metrics(asm).collect()}
+    fmf = {r["filter_id"]: (r["occurrence_count"], r["line_count"])
+           for r in filter_metrics_flat(flat).collect()}
+    assert fm == fmf
+    sm = {r["search_id"]: (r["occurrence_count"], r["line_count"])
+          for r in search_metrics(asm).collect()}
+    smf = {r["search_id"]: (r["occurrence_count"], r["line_count"])
+           for r in search_metrics_flat(flat).collect()}
+    assert sm == smf

@@ -348,12 +348,17 @@ def assemble_spans(
     """JVM-side reassembly of flat span arrays into array<SPAN_TYPE>.
 
     kind: 'filter' (search fields -1), 'search' (filter fields -1), or
-    'combined' (all six carried)."""
-    c = F.col
+    'combined' (all six carried). `flat_col` is the struct column holding
+    the flat arrays, or ''/None when they are top-level columns (the
+    mapInArrow path)."""
+    if flat_col:
+        c = lambda name: F.col(f"{flat_col}.{name}")
+    else:
+        c = F.col
     if kind == "filter":
         z = F.arrays_zip(
-            c(f"{flat_col}.f_start").alias("f_start"), c(f"{flat_col}.f_end").alias("f_end"),
-            c(f"{flat_col}.f_id").alias("f_id"), c(f"{flat_col}.f_row").alias("f_row"),
+            c("f_start").alias("f_start"), c("f_end").alias("f_end"),
+            c("f_id").alias("f_id"), c("f_row").alias("f_row"),
         )
         return F.transform(
             z,
@@ -368,8 +373,8 @@ def assemble_spans(
         )
     if kind == "search":
         z = F.arrays_zip(
-            c(f"{flat_col}.s_start").alias("s_start"), c(f"{flat_col}.s_end").alias("s_end"),
-            c(f"{flat_col}.s_id").alias("s_id"), c(f"{flat_col}.s_row").alias("s_row"),
+            c("s_start").alias("s_start"), c("s_end").alias("s_end"),
+            c("s_id").alias("s_id"), c("s_row").alias("s_row"),
         )
         return F.transform(
             z,
@@ -383,9 +388,9 @@ def assemble_spans(
             ),
         )
     z = F.arrays_zip(
-        c(f"{flat_col}.c_start").alias("c_start"), c(f"{flat_col}.c_end").alias("c_end"),
-        c(f"{flat_col}.c_fid").alias("c_fid"), c(f"{flat_col}.c_frow").alias("c_frow"),
-        c(f"{flat_col}.c_sid").alias("c_sid"), c(f"{flat_col}.c_srow").alias("c_srow"),
+        c("c_start").alias("c_start"), c("c_end").alias("c_end"),
+        c("c_fid").alias("c_fid"), c("c_frow").alias("c_frow"),
+        c("c_sid").alias("c_sid"), c("c_srow").alias("c_srow"),
     )
     return F.transform(
         z,

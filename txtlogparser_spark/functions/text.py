@@ -78,5 +78,48 @@ def langid_heuristic(text_col: str = "text") -> Column:
     return expr
 
 
+_POLY_MOD = 1_000_000_007
+_POLY_BASE = 31
+
+
+def rolling_hash(text_col: str = "text") -> Column:
+    """Polynomial rolling hash of the whole document (Rabin-Karp form:
+    h = (h*31 + byte) mod 1e9+7). Pure Catalyst higher-order functions —
+    whole-stage-codegen, no UDF; reproducible in ANSI SQL (list_reduce)."""
+    return F.expr(
+        f"""CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE
+            aggregate(
+              transform(sequence(1, length({text_col})),
+                        i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD}) END"""
+    )
+
+
+def min_kgram_hash(text_col: str = "text", k: int = 8) -> Column:
+    """Winnowing-style content fingerprint: minimum polynomial hash over
+    all k-char grams (the rolling-window form of document fingerprinting;
+    near-identical docs share the minimizing gram). Falls back to the
+    whole-doc hash for texts shorter than k."""
+    gram = (
+        f"aggregate(transform(sequence(CAST(i AS INT) + 1, CAST(i AS INT) + {k}), "
+        f"j -> CAST(ascii(substring({text_col}, j, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD})"
+    )
+    return F.expr(
+        f"""CASE WHEN length({text_col}) < {k} THEN
+            CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE
+            aggregate(
+              transform(sequence(1, length({text_col})),
+                        i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD}) END
+            ELSE
+            array_min(transform(sequence(0, length({text_col}) - {k}),
+                                i -> {gram}))
+            END"""
+    )
+
+
 def doc_fingerprint(text_col: str = "text", length: int = 16) -> Column:
     return F.substring(F.md5(F.col(text_col)), 1, length)

@@ -88,6 +88,29 @@ def filter_predicate(spans_col: Column, filter_id: Optional[int] = None) -> Colu
     return F.exists(spans_col, lambda s: s["filter_id"] == F.lit(filter_id))
 
 
+def filter_predicate_flat(ids_col: Column, filter_id: Optional[int] = None) -> Column:
+    """Survival / membership over the FLAT f_id array (the unassembled
+    sink form: one int per span, -1 = unclaimed)."""
+    if filter_id is None:
+        return F.exists(ids_col, lambda x: x != F.lit(-1))
+    return F.exists(ids_col, lambda x: x == F.lit(filter_id))
+
+
+def route_tag_flat(filters: Sequence[FilterSpec], ids_col: Column) -> Column:
+    """CASE WHEN chain over the flat f_id array (see route_tag_column)."""
+    enabled = sorted((f for f in filters if f.enabled), key=lambda f: f.row)
+
+    def has_id(fid: int):
+        return lambda x: x == F.lit(fid)
+
+    expr = F.lit(-1)
+    for f in reversed(enabled):
+        expr = F.when(
+            F.exists(ids_col, has_id(f.id)), F.lit(f.id)
+        ).otherwise(expr)
+    return expr
+
+
 def route_tag_column(
     filters: Sequence[FilterSpec], spans_col: Column
 ) -> Column:

@@ -142,7 +142,15 @@ class LogPipeline:
 
     # ---- one-call plan ----
     def run(
-        self, seqs: DataFrame, *, with_search: bool = True, fused: bool = True
+        self,
+        seqs: DataFrame,
+        *,
+        with_search: bool = True,
+        fused: bool = True,
+        token_tables: Optional[bool] = None,
+        with_text: bool = True,
+        arrow_path: Optional[bool] = None,
+        assembled: bool = True,
     ) -> DataFrame:
         """Full plan. `fused=True` (default) uses the scale path:
 
@@ -150,10 +158,14 @@ class LogPipeline:
           → ONE fused Arrow UDF (detokenize + span extraction)
           → JVM survival / enrich / route.
 
-        `fused=False` keeps the didactic stage-by-stage plan (detokenize
-        UDF → text prefilter → span UDF); both produce identical results
-        (tests/test_pipeline_e2e.py runs the fused path against the
-        oracle; test_fused_paths_agree pins fused == unfused)."""
+        When every matcher is word-local (functions/token_spans.py), the
+        fused UDF is the vocabulary-precompute variant: per-word span
+        decompositions are computed once per vocab word at plan build and
+        per-row work drops to a numpy gather + assembly over claim-bearing
+        words. `token_tables` forces (True) or disables (False) that path;
+        None = auto-detect. All paths produce identical results
+        (tests/test_pipeline_e2e.py vs the oracle; test_token_spans.py
+        pins token-table == generic)."""
         if not fused:
             return self.routed(
                 self.enriched(self.parsed(seqs)), with_search=with_search
@@ -173,26 +185,120 @@ class LogPipeline:
         df = df.withColumn(
             "line_no", F.substring_index("doc_id", "-", -1).cast("int")
         )
-        fused_udf = make_fused_extractor(
-            self.vocab, filters, searches, include_search=with_search
+        from txtlogparser_spark.functions.token_spans import (
+            make_token_fused_extractor,
+            matchers_word_local,
         )
-        df = df.withColumn("_flat", fused_udf(F.col("tokens")))
-        df = df.withColumn("text", F.col("_flat.text")).withColumn(
-            "filter_spans", assemble_spans("_flat", kind="filter")
+
+        use_tokens = (
+            matchers_word_local(filters, searches)
+            if token_tables is None
+            else token_tables
         )
-        if with_search:
-            df = df.withColumn("search_spans", assemble_spans("_flat", kind="search"))
-        df = df.drop("_flat")
+        use_arrow = use_tokens if arrow_path is None else (arrow_path and use_tokens)
+        if use_arrow:
+            # zero-copy batch path: flat span columns appended by
+            # mapInArrow, structs assembled JVM-side from top level
+            from pyspark.sql.types import (
+                ArrayType,
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            from txtlogparser_spark.functions.arrow_spans import (
+                make_arrow_span_mapper,
+            )
+
+            fn, _ = make_arrow_span_mapper(
+                self.vocab,
+                filters,
+                searches,
+                include_search=with_search,
+                include_text=with_text,
+            )
+            arr = ArrayType(IntegerType(), False)
+            extra = [
+                StructField(n, arr, False)
+                for n in ("f_start", "f_end", "f_id", "f_row")
+            ]
+            if with_search:
+                extra += [
+                    StructField(n, arr, False)
+                    for n in ("s_start", "s_end", "s_id", "s_row")
+                ]
+            if with_text:
+                extra.append(StructField("text", StringType(), False))
+            out_schema = StructType(list(df.schema.fields) + extra)
+            df = df.mapInArrow(fn, out_schema)
+            if assembled:
+                df = df.withColumn(
+                    "filter_spans", assemble_spans("", kind="filter")
+                )
+                drop = ["f_start", "f_end", "f_id", "f_row"]
+                if with_search:
+                    df = df.withColumn(
+                        "search_spans", assemble_spans("", kind="search")
+                    )
+                    drop += ["s_start", "s_end", "s_id", "s_row"]
+                df = df.drop(*drop)
+        else:
+            if use_tokens:
+                fused_udf = make_token_fused_extractor(
+                    self.vocab,
+                    filters,
+                    searches,
+                    include_search=with_search,
+                    # text skippable only on the token path: span offsets
+                    # come from the word-length table, no string needed
+                    include_text=with_text,
+                )
+            else:
+                fused_udf = make_fused_extractor(
+                    self.vocab, filters, searches, include_search=with_search
+                )
+                with_text = True
+            df = df.withColumn("_flat", fused_udf(F.col("tokens")))
+            if with_text:
+                df = df.withColumn("text", F.col("_flat.text"))
+            df = df.withColumn(
+                "filter_spans", assemble_spans("_flat", kind="filter")
+            )
+            if with_search:
+                df = df.withColumn(
+                    "search_spans", assemble_spans("_flat", kind="search")
+                )
+            df = df.drop("_flat")
+        flat = use_arrow and not assembled
+        if flat:
+            from txtlogparser_spark.operators.route import (
+                filter_predicate_flat,
+                route_tag_flat,
+            )
         if filters:
-            df = df.where(filter_predicate(F.col("filter_spans")))
+            df = df.where(
+                filter_predicate_flat(F.col("f_id"))
+                if flat
+                else filter_predicate(F.col("filter_spans"))
+            )
         df = self.enriched(df)
         if filters:
             df = df.withColumn(
-                "route", route_tag_column(filters, F.col("filter_spans"))
+                "route",
+                route_tag_flat(filters, F.col("f_id"))
+                if flat
+                else route_tag_column(filters, F.col("filter_spans")),
             )
         else:
             df = df.withColumn("route", F.lit(-1))
         return df
+
+    def display_text(self, df: DataFrame) -> DataFrame:
+        """Reconstruct `text` from tokens for a (page-sized) slice — the
+        render-on-demand analog of OutputData.cpp:504-524 when the sink
+        was written with with_text=False."""
+        return df.withColumn("text", self._detok(F.col("tokens")))
 
     def write_sinks(self, routed: DataFrame, out_dir: str) -> None:
         """Fan-out: ONE pass writes every route's sink via partitioned write

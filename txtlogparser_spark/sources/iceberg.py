@@ -1,0 +1,59 @@
+"""Iceberg table IO with parquet-directory fallback.
+
+The north_rule input is an Iceberg table of tokenized sequences
+partitioned by `source`. This container ships no Iceberg runtime jar
+(checked: /opt/spark/jars has none, no pyiceberg), so the repo runs on
+the parquet-dataset layout that mirrors the Iceberg partition spec
+(source=<v>/ directories, many row groups per file). Everything
+engine-side is format-agnostic DataFrame code; this module is the ONE
+place that switches when `iceberg-spark-runtime` is on the classpath:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.lake.type=hadoop \
+        --conf spark.sql.catalog.lake.warehouse=<path> ...
+
+Partition-spec parity: `write_sequences` partitions by source either way;
+Iceberg adds snapshot isolation (the reference's save-on-mutation commit,
+WorkspaceManager.cpp:25-76, maps to one snapshot per run) and
+metadata-pruned scans. The lineage/metrics tables (plans/lineage.py)
+append per batch — with Iceberg those appends are atomic commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is usable in this session."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_sequences(spark: SparkSession, location: str) -> DataFrame:
+    """Read the sequences table: Iceberg identifier (`catalog.db.tbl`)
+    when the runtime is present and `location` has no path separator,
+    else a parquet dataset directory."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_sequences(
+    df: DataFrame, location: str, *, mode: str = "overwrite"
+) -> None:
+    """Write partitioned by source (the Iceberg partition-spec analog)."""
+    spark = df.sparkSession
+    if "/" not in location and iceberg_available(spark):
+        writer = df.writeTo(location).partitionedBy(df.source)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    df.write.mode(mode).partitionBy("source").parquet(location)

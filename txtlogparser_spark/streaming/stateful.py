@@ -1,0 +1,163 @@
+"""Custom stateful streaming operators (applyInPandasWithState) +
+watermarked event-time aggregation.
+
+The reference has no streaming analog — its refresh model is batch
+recompute (OutputData.cpp:98-110). These operators cover the streaming
+surface a log/telemetry pipeline needs at scale:
+
+- `watermarked_route_counts`: per-window per-route counts with late-data
+  tolerance — the streaming form of the A1 metrics table. State is
+  bounded by the watermark; output appends finalized windows only.
+- `sessionize`: gap-based session windows per key via
+  `applyInPandasWithState` — the custom-stateful-operator pattern
+  (arbitrary per-key state the built-in window functions can't express).
+  State carries across micro-batches; a session closes when an event
+  arrives more than `gap` after the session's last event, or on state
+  timeout.
+
+Both are Arrow-batched (pandas iterators); no per-row Python outside the
+vectorized batch loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+# state tuple: (start_epoch_us, end_epoch_us, n_events, value_sum)
+_STATE_SCHEMA = "start long, end long, n long, vsum double"
+
+
+def watermarked_route_counts(
+    routed_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming A1: tumbling-window route metrics with a watermark so
+    state for closed windows is dropped (bounded memory at 10^12 scale).
+    Append mode emits each window once, when the watermark passes it."""
+    return (
+        routed_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "route",
+            "n",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization per user via applyInPandasWithState.
+
+    Input schema: (user_id long, ts timestamp, value double[, ...]).
+    Emits one row per CLOSED session (closed by a later event beyond the
+    gap, or — when `timeout_ms` is set — by processing-time state
+    timeout). Still-open sessions remain in the state store across
+    micro-batches.
+
+    `timeout_ms=None` (default) uses NoTimeout: this pyspark build's
+    Python worker crashes hard (no traceback) when
+    GroupStateTimeout.ProcessingTimeTimeout is combined with
+    setTimeoutDuration, so timeout-based session expiry is opt-in for
+    environments where that code path works.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        user_id = key[0]
+        closed = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, vs = state.get
+                closed.append((user_id, s, e, n, vs))
+                state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values("ts")
+                ts_us = pdf["ts"].astype("int64").to_numpy()  # epoch us? ns
+                # pandas datetime64[ns] → ns; convert to us
+                ts_us = ts_us // 1000
+                vals = pdf["value"].to_numpy()
+                for t, v in zip(ts_us, vals):
+                    if cur is None:
+                        cur = [int(t), int(t), 1, float(v)]
+                    elif t - cur[1] > gap_us:
+                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                        cur = [int(t), int(t), 1, float(v)]
+                    else:
+                        cur[1] = int(t)
+                        cur[2] += 1
+                        cur[3] += float(v)
+            if cur is not None:
+                state.update(tuple(cur))
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_events": [c[3] for c in closed],
+                    "value_sum": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
