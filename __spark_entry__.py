@@ -530,6 +530,31 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min gap): lag() boundary flags +
+    running sum as session ids — the batch twin of the streaming
+    applyInPandasWithState operator (streaming/stateful.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("sess_id", F.sum(is_new).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -564,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_per_region": q_suppliers_per_region,
         "brand_revenue": q_brand_revenue,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -895,6 +921,28 @@ def oracle_sql() -> dict[str, str]:
                           for i in range(0, len(chars) - 7)])
               END AS min_gram
             FROM c
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM g
+            ), per_sess AS (
+              SELECT user_id, sess_id, COUNT(*) AS n_events
+              FROM s GROUP BY user_id, sess_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+              MAX(n_events) AS max_session_events,
+              SUM(n_events) AS total_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
     }
 

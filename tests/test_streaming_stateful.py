@@ -77,6 +77,67 @@ def test_sessionize_across_batches(spark, tmp_path):
     assert all(r["user_id"] != 2 for r in got)
 
 
+def test_sessionize_matches_batch_sessionization(spark, tmp_path):
+    """Streaming gap sessions == batch lag()-gap sessions minus each
+    user's final (still-open) session."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "out")
+    rows1 = [
+        (1, ts(0), 1.0), (1, ts(100), 2.0),          # session A (user 1)
+        (2, ts(50), 5.0),                            # session (user 2)
+    ]
+    rows2 = [
+        (1, ts(4000), 1.5), (1, ts(4100), 0.5),      # closes A, opens B
+        (2, ts(9000), 1.0),                          # closes user2 s1
+        (1, ts(9000), 9.0),                          # closes B, opens C
+    ]
+    _write_events(spark, src, rows1)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize(stream, gap_seconds=1800)
+    _drain(sessions, out, "s")
+    _write_events(spark, src, rows2)
+    _drain(sessions, out, "s")
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(os.path.join(out, "s")).collect()
+    }
+
+    # batch sessionization over the SAME events
+    e = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ep = F.unix_timestamp("ts")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    per_sess = (
+        e.withColumn("sess_id", F.sum(is_new).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    last = per_sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    closed_batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in per_sess.join(last, "user_id")
+        .where(F.col("sess_id") != F.col("last_id"))
+        .collect()
+    }
+    assert got == closed_batch
+    assert len(got) == 3  # A, B (user 1) + user 2's first
+
+
 def test_watermarked_route_counts(spark, tmp_path):
     src = str(tmp_path / "routed_in")
     out = str(tmp_path / "out")
