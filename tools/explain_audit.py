@@ -1,0 +1,121 @@
+"""Plan-quality audit: verify each headline query's physical plan has the
+properties that matter at 100 TB, and write the evidence to BENCH/PLANS.md.
+
+Checked per query:
+- PushedFilters reach the parquet scan (predicate pushdown)
+- ReadSchema is narrower than the table (column pruning)
+- WholeStageCodegen spans exist (JVM-side execution)
+- broadcast joins where a dimension is joined (no fact shuffle)
+- Python stages (ArrowEvalPython / MapInArrow / MapInPandas) only where
+  the operator genuinely needs them
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+AUDITED = [
+    "log_route",
+    "log_filter_counts",
+    "tpch_pricing_summary",
+    "join_orders_per_nation",
+    "window_top3_orders",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "brand_revenue",
+    "events_hourly",
+    "multimodal_features",
+]
+
+PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def plan_text(df, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit(df) -> dict:
+    text = plan_text(df, "formatted")
+    codegen = plan_text(df, "codegen")  # "Found N WholeStageCodegen subtrees"
+    return {
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", text)),
+        "read_schemas": re.findall(r"ReadSchema: (struct<[^\n]*)", text),
+        "codegen_spans": int(
+            (re.search(r"Found (\d+) WholeStageCodegen", codegen) or [0, 0])[1]
+        ),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", text)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
+        "python_stages": [s for s in PY_STAGES if s in text],
+        "exchanges": len(re.findall(r"\bExchange\b", text)),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        # audit inspects the STATIC plan; AQE wraps everything in
+        # AdaptiveSparkPlan and hides codegen subtrees until execution
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    lines = [
+        "# Physical-plan audit (tools/explain_audit.py)",
+        "",
+        f"Per headline query at `{sf_dir}`: evidence that filters push to the",
+        "scan, columns prune, execution stays in whole-stage codegen, dimension",
+        "joins broadcast, and Python appears only in the operators that need it.",
+        "",
+        "| query | pushed filters | pruned read schemas | codegen spans | bcast/smj joins | exchanges | python stages |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in AUDITED:
+        df = qs[name](spark, sf_dir)
+        a = audit(df)
+        schemas = "; ".join(s[:60] for s in a["read_schemas"][:3]) or "-"
+        lines.append(
+            f"| {name} | {a['pushed_filters']} | `{schemas}` | "
+            f"{a['codegen_spans']} | {a['broadcast_joins']}/{a['sort_merge_joins']} | "
+            f"{a['exchanges']} | {', '.join(a['python_stages']) or '-'} |"
+        )
+        print(lines[-1])
+
+    lines += [
+        "",
+        "Python stages are expected ONLY in: log_* (span-extraction semantics",
+        "Catalyst cannot express) and multimodal_features (mapInPandas decode",
+        "plumbing). Every other query is pure JVM.",
+        "",
+        "The log-pipeline plan over tokenized sequences (LogPipeline.run) adds:",
+        "token-level survival prefilter before the Python stage, broadcast",
+        "enrich join, and flat-column sink so metrics reads prune to one",
+        "int-list column — see BENCH/BASELINE.md for measured throughput.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"\nwrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
