@@ -616,7 +616,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "log_filter_counts": counts_cte
         + """
-            SELECT filter_id, SUM(c) AS occurrence_count, COUNT(*) AS line_count FROM (
+            SELECT filter_id, CAST(SUM(c) AS BIGINT) AS occurrence_count, COUNT(*) AS line_count FROM (
               SELECT doc_id, 201 AS filter_id, c201 AS c FROM m WHERE c201 > 0
               UNION ALL SELECT doc_id, 202, c202 FROM m WHERE c202 > 0
               UNION ALL SELECT doc_id, 203, c203 FROM m WHERE c203 > 0
@@ -631,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(text, '(?i)s(low|mall)')) AS c302
               FROM surv
             )
-            SELECT search_id, SUM(c) AS occurrence_count, COUNT(*) AS line_count FROM (
+            SELECT search_id, CAST(SUM(c) AS BIGINT) AS occurrence_count, COUNT(*) AS line_count FROM (
               SELECT doc_id, 301 AS search_id, c301 AS c FROM s WHERE c301 > 0
               UNION ALL SELECT doc_id, 302, c302 FROM s WHERE c302 > 0
             ) GROUP BY search_id ORDER BY search_id
@@ -718,8 +718,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "lang_stats": """
-            SELECT lang, COUNT(*) AS doc_count, SUM(n_chars) AS total_chars,
-              SUM(len(string_split(text, ' '))) AS total_words
+            SELECT lang, COUNT(*) AS doc_count,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "text_quality": """
@@ -806,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_agg": """
             SELECT event_type,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
               COUNT(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
@@ -819,7 +820,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, COUNT(*) AS n_events,
-              SUM(delta) AS sum_delta, MAX(delta) AS max_delta
+              CAST(SUM(delta) AS BIGINT) AS sum_delta, MAX(delta) AS max_delta
             FROM d GROUP BY user_id ORDER BY user_id
         """,
         "customers_without_orders": """
@@ -941,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, COUNT(*) AS n_sessions,
               MAX(n_events) AS max_session_events,
-              SUM(n_events) AS total_events
+              CAST(SUM(n_events) AS BIGINT) AS total_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
     }
