@@ -62,13 +62,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → line model: line_no = 0-based order within source (by
-    doc_id), source_rank = dense rank of source name. Deterministic and
-    reproducible in ANSI SQL for the oracle side."""
+    doc_id), source_rank = dense rank of source name, _src_off = rows in
+    sources sorting before this one. Deterministic and reproducible in
+    ANSI SQL for the oracle side.
+
+    Scale shape: line_no is a source-partitioned window (parallel);
+    source_rank/_src_off come from a broadcast K-row source dim
+    (windowing.ordered_partition_dim) — no unpartitioned window, so no
+    `Exchange SinglePartition` over the fact table."""
+    from txtlogparser_spark.operators.windowing import ordered_partition_dim
+
     d = _docs(spark, sf_dir)
     w_line = Window.partitionBy("source").orderBy("doc_id")
-    w_rank = Window.orderBy("source")
-    return d.withColumn("line_no", F.row_number().over(w_line) - 1).withColumn(
-        "source_rank", F.dense_rank().over(w_rank) - 1
+    dim = ordered_partition_dim(d, "source").select(
+        "source", F.col("_rank").alias("source_rank"), F.col("_off").alias("_src_off")
+    )
+    return d.withColumn("line_no", F.row_number().over(w_line) - 1).join(
+        F.broadcast(dim), "source"
     )
 
 
@@ -114,9 +124,9 @@ def q_log_passthrough_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/P1/W1/S5: pass-through (no filters), global total order
     (source_rank, line_no), top-of-window page with display prefix."""
     lines = _doc_lines(spark, sf_dir)
-    w = Window.orderBy("source_rank", "line_no")
+    # global rn = per-source offset + line_no + 1 — no global window
     page = (
-        lines.withColumn("rn", F.row_number().over(w))
+        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("int"))
         .where(F.col("rn") <= 100)
         .withColumn(
             "display_prefix",
@@ -131,17 +141,14 @@ def q_log_passthrough_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_log_nav_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N4 substrate: ordered per-filter match-position table (the
     m_filterLineMap analog keyed by output index)."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
     routed = _routed(spark, sf_dir)
-    w_line = Window.partitionBy("source").orderBy("doc_id")
-    w_rank = Window.orderBy("source")
-    indexed = (
-        routed.withColumn("line_no", F.row_number().over(w_line) - 1)
-        .withColumn("source_rank", F.dense_rank().over(w_rank) - 1)
-        .withColumn(
-            "output_index",
-            F.row_number().over(Window.orderBy("source_rank", "line_no")) - 1,
-        )
-    )
+    # output_index over (source_rank, line_no-of-routed) == global index
+    # over (source, doc_id) of the routed set, since source_rank is
+    # monotone in source. Scale shape: partitioned window + broadcast
+    # offsets — no SinglePartition exchange.
+    indexed = with_global_index(routed, "source", ["doc_id"], out="output_index")
     sp = F.explode("filter_spans").alias("sp")
     return (
         indexed.select("output_index", sp)
@@ -366,9 +373,9 @@ def q_log_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 offset paging: rows 101-200 of the global total order — the
     row_number() BETWEEN form (OutputWindow.cpp:22-45 window slide)."""
     lines = _doc_lines(spark, sf_dir)
-    w = Window.orderBy("source_rank", "line_no")
+    # global rn = per-source offset + line_no + 1 — no global window
     return (
-        lines.withColumn("rn", F.row_number().over(w))
+        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("int"))
         .where((F.col("rn") >= 101) & (F.col("rn") <= 200))
         .select(
             F.col("rn").cast("long").alias("rn"),
@@ -385,11 +392,11 @@ def q_log_nav_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each filter, the next matching line in the ordered surviving set
     strictly after cursor output_index=10, wrapping to the globally first
     matching line (upper_bound-then-begin())."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
     routed = _routed(spark, sf_dir)
-    idx = routed.withColumn(
-        "output_index",
-        F.row_number().over(Window.orderBy("source", "doc_id")) - 1,
-    )
+    # no global window: partitioned row_number + broadcast source offsets
+    idx = with_global_index(routed, "source", ["doc_id"], out="output_index")
     hits = idx.select(
         F.col("output_index").cast("long").alias("output_index"),
         F.explode(

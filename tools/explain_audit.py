@@ -25,6 +25,10 @@ sys.path.insert(0, "/root/repo")
 AUDITED = [
     "log_route",
     "log_filter_counts",
+    "log_passthrough_page",
+    "log_page_offset",
+    "log_nav_matches",
+    "log_nav_next",
     "tpch_pricing_summary",
     "join_orders_per_nation",
     "window_top3_orders",
@@ -58,6 +62,10 @@ def audit(df) -> dict:
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
         "python_stages": [s for s in PY_STAGES if s in text],
         "exchanges": len(re.findall(r"\bExchange\b", text)),
+        # full-table funnel through one task — the 100-TB scale-killer;
+        # must be 0 everywhere (global indices use partitioned windows +
+        # broadcast offsets instead, operators/windowing.py)
+        "single_partition": len(re.findall(r"Exchange SinglePartition", text)),
     }
 
 
@@ -85,19 +93,29 @@ def main():
         "scan, columns prune, execution stays in whole-stage codegen, dimension",
         "joins broadcast, and Python appears only in the operators that need it.",
         "",
-        "| query | pushed filters | pruned read schemas | codegen spans | bcast/smj joins | exchanges | python stages |",
-        "|---|---|---|---|---|---|---|",
+        "| query | pushed filters | pruned read schemas | codegen spans | bcast/smj joins | exchanges | 1-part exch | python stages |",
+        "|---|---|---|---|---|---|---|---|",
     ]
+    bad_single = []
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
         a = audit(df)
         schemas = "; ".join(s[:60] for s in a["read_schemas"][:3]) or "-"
+        if a["single_partition"]:
+            bad_single.append(name)
         lines.append(
             f"| {name} | {a['pushed_filters']} | `{schemas}` | "
             f"{a['codegen_spans']} | {a['broadcast_joins']}/{a['sort_merge_joins']} | "
-            f"{a['exchanges']} | {', '.join(a['python_stages']) or '-'} |"
+            f"{a['exchanges']} | {a['single_partition']} | "
+            f"{', '.join(a['python_stages']) or '-'} |"
         )
         print(lines[-1])
+    lines.append("")
+    lines.append(
+        f"`Exchange SinglePartition` count (full-table one-task funnel): "
+        + ("**0 in every audited query**." if not bad_single else f"PRESENT in {bad_single} — fix before scale-up.")
+    )
+    print(lines[-1])
 
     lines += [
         "",

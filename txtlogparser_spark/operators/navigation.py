@@ -19,20 +19,22 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
+
+from txtlogparser_spark.operators.windowing import with_global_index
 
 
 def with_output_index(routed: DataFrame) -> DataFrame:
     """Dense 0-based output index over the global order (source_rank,
     line_no) ↔ position in m_outputLinesAfterFilters.
 
-    Interactive/parity feature: a global row_number is a single-partition
-    window, fine for a display-sized result set. At 10^12-row scale the
-    composite key (source_rank, line_no) itself is the line identity and
-    dense indices are not materialized (documented divergence knob).
-    """
-    w = Window.orderBy("source_rank", "line_no")
-    return routed.withColumn("output_index", F.row_number().over(w) - 1)
+    Scale shape: per-source row_number (parallel, partitioned window) +
+    broadcast per-source cumulative offsets — no single-partition window
+    (operators/windowing.with_global_index). The fact table is never
+    funneled through one task; only a K-row source dim is."""
+    return with_global_index(
+        routed, "source_rank", ["line_no"], out="output_index"
+    )
 
 
 def matches_table(

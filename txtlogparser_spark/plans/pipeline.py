@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from txtlogparser_spark.config import WorkspaceConfig
 from txtlogparser_spark.functions.detokenize import make_detokenizer
@@ -99,18 +99,16 @@ class LogPipeline:
         """Broadcast enrich with source_rank/payload; prune unselected
         sources (S2) before anything expensive."""
         if self.source_info is None:
-            # degenerate single-source mode: rank sources lexicographically
-            ranks = (
-                parsed.sparkSession.createDataFrame(
-                    [(s,) for s in sorted(
-                        r["source"] for r in parsed.select("source").distinct().collect()
-                    )],
-                    ["source"],
-                )
-                .withColumn(
-                    "source_rank", F.row_number().over(Window.orderBy("source")) - 1
-                )
+            # degenerate no-dim mode: rank sources lexicographically from a
+            # distributed K-row aggregate — no driver-side .collect() on the
+            # fact table, no unpartitioned window (windowing.ordered_partition_dim)
+            from txtlogparser_spark.operators.windowing import (
+                ordered_partition_dim,
             )
+
+            ranks = ordered_partition_dim(
+                parsed.select("source"), "source"
+            ).select("source", F.col("_rank").alias("source_rank"))
             return parsed.join(F.broadcast(ranks), "source", "inner")
         return enrich_with_sources(parsed, self.source_info)
 
