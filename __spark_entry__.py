@@ -278,30 +278,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (the exact
-    baseline; LSH-bucketed variant is the scale path)."""
+    baseline; LSH-bucketed variant is the scale path). Uses the
+    size-guarded operator: small corpora broadcast, large corpora stream
+    past a broadcast query batch (never an unconditional corpus
+    broadcast)."""
+    from txtlogparser_spark.operators.similarity import as_double_vec, brute_force_topk
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
     q = v.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    sims = (
-        q.join(v.where(F.col("vec_id") >= 10).hint("broadcast"))
-        .withColumn("sim", dot / (norm(F.col("qv")) * norm(F.col("v"))))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim_r"))
-        .orderBy("query_id", "rank")
-    )
+    out = brute_force_topk(q, v.where(F.col("vec_id") >= 10), k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim_r")
+    ).orderBy("query_id", "rank")
 
 
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,8 +736,60 @@ def oracle_sql() -> dict[str, str]:
               length(text) AS n_chars_m
             FROM documents
         """,
-        # dedup_simhash / ann_lsh_topk: xxhash64-based (Spark-native hash,
-        # no ANSI analog) → rows-only checks; quality pinned in pytest.
+        # dedup_simhash: md5-derived word hashes → DuckDB replays the
+        # identical charge vectors. Bit-array representation avoids 64-bit
+        # signed shift overflow (DuckDB range-checks <<); bucketing classes
+        # are identical to Spark's chunked-simhash equality join.
+        "dedup_simhash": """
+            WITH wh AS (
+              SELECT doc_id,
+                [ [CAST(('0x' || substr(md5(w),9,8)) AS BIGINT), CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)]
+                  for w in string_split(text, ' ') ] AS whs
+              FROM documents
+            ),
+            bits AS (
+              SELECT doc_id,
+                [ CASE WHEN list_sum([ CASE WHEN ((CASE WHEN b < 32 THEN (h[1] >> b) ELSE (h[2] >> (b - 32)) END) & 1) = 1 THEN 1 ELSE -1 END for h in whs ]) > 0 THEN 1 ELSE 0 END
+                  for b in range(0, 64) ] AS bitarr
+              FROM wh
+            ),
+            bucketed AS (
+              SELECT doc_id, bitarr, c,
+                list_sum([ bitarr[c*16 + j + 1] * (1 << j) for j in range(0, 16) ]) AS ckey
+              FROM bits, unnest(range(0, 4)) AS t(c)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(list_sum([ CASE WHEN a.bitarr[i+1] <> b.bitarr[i+1] THEN 1 ELSE 0 END for i in range(0,64) ]) AS INT) AS hamming
+            FROM bucketed a JOIN bucketed b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+            WHERE list_sum([ CASE WHEN a.bitarr[i+1] <> b.bitarr[i+1] THEN 1 ELSE 0 END for i in range(0,64) ]) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # ann_lsh_topk: md5-parity Rademacher hyperplanes — DuckDB derives
+        # the same ±1 planes from md5("{t}:{b}:{d}") and reproduces the
+        # bucketed search bit-exactly (signatures, candidates, re-rank).
+        "ann_lsh_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (
+              SELECT vec_id, v,
+                [ CAST(list_sum([
+                    CASE WHEN list_sum([ v[d+1] * (CASE WHEN substr(md5(CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 32, 1) IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END) for d in range(0, 64) ]) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+                    for b in range(0, 10) ]) AS BIGINT)
+                  for t in range(0, 3) ] AS sigs
+              FROM v
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, sigs AS qsigs FROM sig WHERE vec_id < 10),
+            c AS (SELECT vec_id, v, sigs FROM sig WHERE vec_id >= 10),
+            cands AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+              FROM q JOIN c ON qsigs[1] = sigs[1] OR qsigs[2] = sigs[2] OR qsigs[3] = sigs[3]
+            )
+            SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM cands
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "dedup_minhash_lsh": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
@@ -986,18 +1029,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — Spark-native hash, no
-    ANSI-SQL analog → rows-only driver check; pinned in pytest)."""
+    """SimHash near-dup pairs, md5-portable word hashing (DuckDB oracle
+    replays the identical charge vectors). max_hamming=3 → 4×16-bit
+    Charikar chunks: recall is EXACT by pigeonhole (≤3 differing bits
+    cannot touch all 4 chunks), and bucket width 16 bits keeps the
+    candidate join sparse at scale."""
     from txtlogparser_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
-        _docs(spark, sf_dir), max_hamming=10
+        _docs(spark, sf_dir), max_hamming=3
     ).orderBy("doc_a", "doc_b")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the scale path; xxhash64 hyperplanes →
-    rows-only driver check; recall vs brute force pinned in pytest)."""
+    """Sign-LSH bucketed ANN (the scale path). Hyperplanes are md5-parity
+    Rademacher planes — engine-portable, so the bucketed search has a
+    full DuckDB oracle; recall vs brute force additionally pinned in
+    pytest."""
     from txtlogparser_spark.operators.similarity import as_double_vec, lsh_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

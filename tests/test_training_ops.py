@@ -126,6 +126,56 @@ class TestSimilarity:
             got_q = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == q]
             assert got_q == want
 
+    def test_broadcast_guard(self, spark):
+        """Large corpora are never broadcast: the guard flips the build
+        side to the (small) query batch; results are identical."""
+        from txtlogparser_spark.operators.similarity import (
+            _small,
+            as_double_vec,
+            brute_force_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(30, 8).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(30)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cor = corpus.where("vec_id >= 2")
+        # size heuristic on a file-backed relation: small under the default
+        # cap, "large" under a 1-byte cap; in-memory relations (no stats)
+        # conservatively count as large
+        pq = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assert _small(pq)
+        assert not _small(pq, max_bytes=1)
+        assert not _small(cor)  # ExistingRDD: unknown stats → never broadcast
+        small_df = brute_force_topk(queries, cor, k=3, broadcast_corpus=True)
+        large_df = brute_force_topk(queries, cor, k=3, broadcast_corpus=False)
+        # forced-large: the broadcast subtree holds the QUERY side, not the corpus
+        import contextlib, io
+
+        def plan(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()
+            return buf.getvalue()
+
+        small_plan, large_plan = plan(small_df), plan(large_df)
+        assert "BroadcastExchange" in small_plan and "BroadcastExchange" in large_plan
+        bcast_small = small_plan.split("BroadcastExchange", 1)[1]
+        bcast_large = large_plan.split("BroadcastExchange", 1)[1]
+        assert "query_id" not in bcast_small  # corpus is the broadcast side
+        assert "query_id" in bcast_large  # query batch broadcast, corpus streamed
+        # identical results either way
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(
+            [(r["query_id"], r["rank"], r["neighbor_id"]) for r in small_df.collect()]
+        ) == sorted(
+            [(r["query_id"], r["rank"], r["neighbor_id"]) for r in large_df.collect()]
+        )
+
     def test_lsh_recall_reasonable(self, spark):
         from txtlogparser_spark.operators.similarity import (
             as_double_vec,

@@ -187,32 +187,60 @@ aggregate(
 """
 
 
+def md5_word_hash64(word: Column) -> Column:
+    """64-bit word hash from md5: (hi32 << 32) | lo32, where hi32/lo32 are
+    the first/second 8 hex chars. Engine-portable — DuckDB computes the
+    identical bigint from the same md5 hex, so SimHash gets a full SQL
+    oracle (unlike xxhash64, which has no ANSI analog)."""
+    h = F.md5(word)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def with_simhash64(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(key, sh): 64-bit SimHash — per word xxhash64, per bit position sum
-    ±1 charges, keep sign bits. Pure Catalyst aggregate over arrays: no
-    UDF, no shuffle; word hashes computed once per row."""
+    """(key, sh): 64-bit SimHash — per word md5-derived 64-bit hash
+    (portable, see md5_word_hash64), per bit position sum ±1 charges,
+    keep sign bits. Pure Catalyst aggregate over arrays: no UDF, no
+    shuffle; word hashes computed once per row."""
     return df.select(
         key,
-        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias(
-            "_wh"
-        ),
+        F.transform(
+            F.split(F.col(text_col), " "), lambda w: md5_word_hash64(w)
+        ).alias("_wh"),
     ).select(key, F.expr(_SIMHASH_SQL).alias("sh"))
 
 
 def simhash_candidate_pairs(
     df: DataFrame, key: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Charikar bucketing: split the 64-bit simhash into 4×16-bit chunks;
-    pairs within Hamming distance ≤ 3 share at least one exact chunk
-    (pigeonhole), so candidates come from 4 equality joins, then exact
-    Hamming verification via bit_count(xor)."""
+    """Charikar bucketing with an honest recall contract: the 64-bit
+    simhash is split into `max_hamming + 1` chunks (widths 64//n or
+    64//n + 1), so any pair within Hamming distance ≤ max_hamming must
+    agree exactly on at least one chunk (pigeonhole over n chunks with
+    ≤ n-1 differing bits). Candidates come from n equality joins on
+    (chunk, chunk_value); exact Hamming verification via bit_count(xor).
+
+    Scale note: larger max_hamming ⇒ narrower chunks ⇒ exponentially more
+    bucket collisions (2^-width collision rate per chunk). max_hamming=3
+    (4×16-bit chunks) is the production sweet spot; beyond ~7 the bucket
+    join degrades toward all-pairs and a different algorithm (minhash
+    LSH) is the right tool."""
+    nchunks = max(1, max_hamming + 1)
+    if nchunks > 64:
+        raise ValueError("max_hamming must be < 64")
     sh = with_simhash64(df, key, text_col)
-    chunks = F.explode(
-        F.expr(
-            "transform(sequence(0, 3), "
-            "c -> struct(c as chunk, shiftright(sh, c * 16) & 65535 as ckey))"
+    entries = []
+    for c in range(nchunks):
+        lo = c * 64 // nchunks
+        width = (c + 1) * 64 // nchunks - lo
+        ckey = F.shiftright(F.col("sh"), lo)
+        if lo + width < 64:
+            ckey = ckey.bitwiseAND(F.lit((1 << width) - 1))
+        entries.append(
+            F.struct(F.lit(c).alias("chunk"), ckey.cast("long").alias("ckey"))
         )
-    ).alias("cd")
+    chunks = F.explode(F.array(*entries)).alias("cd")
     bucketed = sh.select(key, "sh", chunks).select(
         key, "sh", F.col("cd.chunk").alias("chunk"), F.col("cd.ckey").alias("ckey")
     )
@@ -229,7 +257,7 @@ def simhash_candidate_pairs(
             F.col(f"b.{key}").alias("doc_b"),
             F.bit_count(
                 F.col("a.sh").bitwiseXOR(F.col("b.sh"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

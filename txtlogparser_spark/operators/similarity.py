@@ -7,11 +7,15 @@
 - lsh_topk: random-hyperplane (sign-LSH) bucketed variant — the scale
   path: corpus hashed once to B-bit signatures; candidates = same-bucket
   rows (multi-probe over T tables); exact cosine re-rank only on
-  candidates. Hyperplanes derive deterministically from xxhash64 of
-  (table, bit, dim) — no RNG state, reproducible across runs/executors.
+  candidates. Hyperplanes derive deterministically from the parity of
+  md5("{table}:{bit}:{dim}") — no RNG state, reproducible across
+  runs/executors, AND portable: DuckDB computes the identical signatures,
+  so the bucketed path has a full SQL oracle (not just a recall test).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -31,6 +35,11 @@ def l2norm(a) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+# corpus-broadcast cap for the exact baseline: beyond this the corpus
+# stays distributed and the (small) query side is broadcast instead
+BROADCAST_CORPUS_MAX_BYTES = 64 << 20
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -40,8 +49,25 @@ def brute_force_topk(
     cid: str = "vec_id",
     qvec: str = "qv",
     cvec: str = "v",
+    broadcast_corpus: Optional[bool] = None,
 ) -> DataFrame:
-    sims = queries.join(F.broadcast(corpus) if _small(corpus) else corpus).withColumn(
+    """Exact cosine top-k baseline. Broadcast strategy:
+
+    - small corpus (optimizer size estimate ≤ BROADCAST_CORPUS_MAX_BYTES):
+      broadcast the corpus — each query partition scans it locally.
+    - large corpus: NEVER broadcast it (OOM at scale); broadcast the
+      query side instead and stream the corpus past it — works for any
+      corpus size as long as the query batch fits in memory.
+
+    `broadcast_corpus` overrides the size heuristic explicitly.
+    """
+    if broadcast_corpus is None:
+        broadcast_corpus = _small(corpus)
+    if broadcast_corpus:
+        sims = queries.join(F.broadcast(corpus))
+    else:
+        sims = corpus.join(F.broadcast(queries))
+    sims = sims.withColumn(
         "sim", dot(F.col(qvec), F.col(cvec)) / (l2norm(F.col(qvec)) * l2norm(F.col(cvec)))
     )
     w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
@@ -52,23 +78,50 @@ def brute_force_topk(
     )
 
 
-def _small(df: DataFrame) -> bool:
-    return True  # caller controls broadcast by corpus size; default hint
+def _small(df: DataFrame, max_bytes: int = BROADCAST_CORPUS_MAX_BYTES) -> bool:
+    """Catalyst's own size estimate for the relation (file-size based for
+    scans) vs the broadcast cap. Unknown size counts as large — at 100 TB
+    the safe default is to not broadcast."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return False
+    return 0 <= size <= max_bytes
 
 
-def _hyperplane(table: int, bit: int, dim: int) -> Column:
-    """Deterministic pseudo-random ±component from xxhash64(table,bit,dim):
-    maps hash parity to ±1 (Rademacher hyperplanes — standard sign-LSH)."""
-    h = F.xxhash64(F.lit(table), F.lit(bit), F.lit(dim))
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def rademacher_planes(table: int, bits: int, dim: int) -> list:
+    """bits × dim Rademacher hyperplanes: r[b][d] = +1 iff the last hex
+    char of md5("{table}:{b}:{d}") is odd. Deterministic, RNG-free, and
+    engine-portable — DuckDB's md5 reproduces the identical planes, so
+    sign-LSH signatures have a full SQL oracle
+    (__spark_entry__.oracle_sql()['ann_lsh_topk'])."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{table}:{b}:{d}".encode()).hexdigest()[-1] in "13579bdf"
+            else -1.0
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
 
 
 def signlsh_signature(vec_col: str, dim: int, bits: int = 16, table: int = 0) -> Column:
-    """B-bit signature: bit b = sign(<v, r_{table,b}>) with Rademacher r.
+    """B-bit signature: bit b = sign(<v, r_{table,b}>) with the md5-parity
+    Rademacher planes of `rademacher_planes`. The planes are constants, so
+    they are materialized driver-side (hashlib md5 == Spark md5 == DuckDB
+    md5) and inlined as array literals: per row this is bits×dim fused
+    multiply-adds in codegen, zero hashing.
 
     SQL expression rather than the DataFrame lambda API: shiftleft()'s
     DataFrame form only takes a Python-int shift, but the per-bit lambda
     needs a column shift amount (SQL shiftleft accepts expressions)."""
+    planes = rademacher_planes(table, bits, dim)
+    lit_rows = ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")" for row in planes
+    )
     return F.expr(
         f"""
         aggregate(
@@ -78,8 +131,7 @@ def signlsh_signature(vec_col: str, dim: int, bits: int = 16, table: int = 0) ->
             aggregate(
               zip_with(
                 {vec_col},
-                transform(sequence(0, {dim - 1}),
-                          d -> IF((xxhash64({table}, b, d) & 1) = 1, 1.0D, -1.0D)),
+                element_at(array({lit_rows}), b + 1),
                 (x, r) -> x * r),
               cast(0.0 as double), (a2, x) -> a2 + x) > 0,
             shiftleft(cast(1 as bigint), b),
