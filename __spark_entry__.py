@@ -646,7 +646,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('%03d [%02d:%06d]', rn, source_rank, line_no + 1) AS display_prefix, doc_id
             FROM o WHERE rn <= 100
         """,
-        # log_nav_matches: span offsets not ANSI-SQL-expressible → rows-only check
+        # log_nav_matches: per-match char offsets reconstructed in ANSI SQL
+        # by scanning every start position i (claiming == matching on this
+        # corpus — patterns are borderless literals / prefix-disjoint
+        # alternations, so greedy non-overlap == all-positions; overlap
+        # quirks pinned in pytest). Verified equal to the Spark engine at
+        # sf0.001/0.01/0.1.
+        "log_nav_matches": f"""
+            WITH surv AS (SELECT doc_id, source, text FROM documents WHERE {_SQL_SURVIVAL}),
+            idx AS (SELECT doc_id, text, row_number() OVER (ORDER BY source, doc_id) - 1 AS output_index FROM surv),
+            pos AS (SELECT output_index, text, unnest(range(1, length(text)+1)) AS i FROM idx),
+            spans AS (
+              SELECT output_index, 201 AS filter_id, i-1 AS s, i+3 AS e FROM pos WHERE substr(text, i, 4) = 'scan'
+              UNION ALL
+              SELECT output_index, 202, i-1, i+3 FROM pos WHERE lower(substr(text, i, 4)) = 'join'
+                AND (i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[0-9a-zA-Z]'))
+                AND (i + 4 > length(text) OR NOT regexp_matches(substr(text, i+4, 1), '[0-9a-zA-Z]'))
+              UNION ALL
+              SELECT output_index, 203, i-1, CASE WHEN lower(substr(text,i,3))='big' THEN i+2 ELSE i+4 END FROM pos
+                WHERE lower(substr(text,i,3))='big' OR lower(substr(text,i,5))='batch'
+              UNION ALL
+              SELECT output_index, 204, i-1, i+5 FROM pos WHERE substr(text, i, 6) = 'filter'
+                AND (i = 1 OR NOT regexp_matches(substr(text,i-1,1), '[0-9a-zA-Z]'))
+                AND (i + 6 > length(text) OR NOT regexp_matches(substr(text,i+6,1), '[0-9a-zA-Z]'))
+            )
+            SELECT filter_id, output_index, CAST(s AS INT) AS start, CAST(e AS INT) AS "end"
+            FROM spans ORDER BY filter_id, output_index, start
+        """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -887,8 +913,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (n_name, o_orderpriority)
             ORDER BY n_name, o_orderpriority
         """,
-        # log_overlay: span-offset overlay not ANSI-SQL-expressible →
-        # rows-only check; split semantics pinned in pytest vs the oracle.
+        # log_overlay: tile counts reconstructed in ANSI SQL — claimed
+        # filter/search spans from the all-positions scan; tile count =
+        # |distinct span edges ∪ {0, len}| - 1 (each search claim lies
+        # inside one filter tile on this corpus, so edges fully determine
+        # the combined decomposition; overlap/split quirks pinned in
+        # pytest). Verified equal to the Spark engine at sf0.001/0.01/0.1.
+        "log_overlay": f"""
+            WITH surv AS (SELECT doc_id, text FROM documents WHERE {_SQL_SURVIVAL}),
+            pos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM surv),
+            fspan AS (
+              SELECT doc_id, i-1 AS s, i+3 AS e FROM pos WHERE substr(text, i, 4) = 'scan'
+              UNION ALL
+              SELECT doc_id, i-1, i+3 FROM pos WHERE lower(substr(text, i, 4)) = 'join'
+                AND (i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[0-9a-zA-Z]'))
+                AND (i + 4 > length(text) OR NOT regexp_matches(substr(text, i+4, 1), '[0-9a-zA-Z]'))
+              UNION ALL
+              SELECT doc_id, i-1, CASE WHEN lower(substr(text,i,3))='big' THEN i+2 ELSE i+4 END FROM pos
+                WHERE lower(substr(text,i,3))='big' OR lower(substr(text,i,5))='batch'
+              UNION ALL
+              SELECT doc_id, i-1, i+5 FROM pos WHERE substr(text, i, 6) = 'filter'
+                AND (i = 1 OR NOT regexp_matches(substr(text,i-1,1), '[0-9a-zA-Z]'))
+                AND (i + 6 > length(text) OR NOT regexp_matches(substr(text,i+6,1), '[0-9a-zA-Z]'))
+            ),
+            sspan AS (
+              SELECT doc_id, i-1 AS s, i+4 AS e FROM pos WHERE lower(substr(text,i,5))='query'
+              UNION ALL
+              SELECT doc_id, i-1, CASE WHEN lower(substr(text,i,4))='slow' THEN i+3 ELSE i+4 END FROM pos
+                WHERE lower(substr(text,i,4))='slow' OR lower(substr(text,i,5))='small'
+            ),
+            fcnt AS (SELECT doc_id, COUNT(*) AS nf FROM fspan GROUP BY doc_id),
+            scnt AS (SELECT doc_id, COUNT(*) AS ns FROM sspan GROUP BY doc_id),
+            edges AS (
+              SELECT doc_id, s AS ed FROM fspan UNION SELECT doc_id, e FROM fspan
+              UNION SELECT doc_id, s FROM sspan UNION SELECT doc_id, e FROM sspan
+              UNION SELECT doc_id, 0 FROM surv UNION SELECT doc_id, length(text) FROM surv
+            ),
+            ecnt AS (SELECT doc_id, COUNT(*) AS ne FROM edges GROUP BY doc_id)
+            SELECT s.doc_id AS doc_id, CAST(ne - 1 AS INT) AS n_tiles,
+              CAST(coalesce(nf, 0) AS INT) AS n_filter_tiles,
+              CAST(coalesce(ns, 0) AS INT) AS n_search_tiles
+            FROM surv s LEFT JOIN fcnt USING(doc_id) LEFT JOIN scnt USING(doc_id) JOIN ecnt USING(doc_id)
+            ORDER BY doc_id
+        """,
         "log_page_offset": """
             WITH l AS (
               SELECT doc_id, source,
