@@ -77,6 +77,48 @@ def test_sessionize_across_batches(spark, tmp_path):
     assert all(r["user_id"] != 2 for r in got)
 
 
+def test_sessionize_multichunk_group(spark, tmp_path):
+    """A key whose micro-batch data spans SEVERAL Arrow chunks must be
+    sorted globally, not per-chunk: out-of-order chunks would otherwise
+    move session boundaries backwards (round-1 ADVICE)."""
+    src = str(tmp_path / "mc_in")
+    out = str(tmp_path / "out")
+    # file order interleaves two true sessions; with 2-row Arrow chunks a
+    # per-chunk sort processes 500,510,0,10,520,20,530,30 and corrupts
+    # the boundaries. True sessions (gap=100): [0..30]x4 and [500..530]x4.
+    rows = [
+        (1, ts(500), 1.0), (1, ts(510), 1.0),
+        (1, ts(0), 1.0), (1, ts(10), 1.0),
+        (1, ts(520), 1.0), (1, ts(20), 1.0),
+        (1, ts(530), 1.0), (1, ts(30), 1.0),
+    ]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        _write_events(spark, src, rows)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize(stream, gap_seconds=100)
+        _drain(sessions, out, "mc")
+        # closing event far beyond the gap closes the open session
+        _write_events(spark, src, [(1, ts(100000), 0.0)])
+        _drain(sessions, out, "mc")
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(os.path.join(out, "mc")).collect()
+    }
+    assert got == {(ts(0), ts(30), 4), (ts(500), ts(530), 4)}, got
+
+
 def test_sessionize_matches_batch_sessionization(spark, tmp_path):
     """Streaming gap sessions == batch lag()-gap sessions minus each
     user's final (still-open) session."""

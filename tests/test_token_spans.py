@@ -134,6 +134,11 @@ def test_word_locality_gate():
         ("b(ig|atch)", True),
         ("[abc]+x", True),
     ]
+    ok += [
+        (r"\S+", True),         # cannot match the separator
+        (r"(foo)+bar", True),   # groups/repeats of word-local parts
+        (r"a\Bb", True),        # \B is word-local like \b
+    ]
     bad = [
         ("two words", False),   # literal separator
         ("a b", True),
@@ -146,6 +151,15 @@ def test_word_locality_gate():
         ("[^x]+", True),        # negated class
         ("a*", True),           # can match empty → positions at separator
         ("(x|)", True),
+        # tree-walk catches what textual scans miss (ADVICE round 1):
+        (r"[\x1f-\x21]+", True),  # range spanning 0x20
+        (r"[\t-z]+", True),       # range spanning 0x20
+        ("\\u0020", True),        # escaped space literal
+        (r"\x20", True),
+        (r"\040", True),
+        (r"a|b c", True),         # space in one branch
+        (r"[\x19\x20]", True),    # class literal 0x20 via escape
+        (r"(a)\1", True),         # backref: conservative reject
     ]
     for pat, is_re in ok:
         assert pattern_word_local(pat, is_re), pat

@@ -114,6 +114,14 @@ def make_arrow_span_mapper(
             offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
             vals = np.where((vals >= 0) & (vals < nv), vals, nv)
+            # null list slots are legal in Arrow even with non-equal
+            # offsets (child values unspecified) — treat them as empty
+            # rows, like the pandas path's `t is None` branch
+            valid = (
+                la.is_valid().to_numpy(zero_copy_only=False)
+                if la.null_count
+                else None
+            )
 
             lens_flat = wlen[vals]
             claim_flat = has_claim[vals]
@@ -135,7 +143,7 @@ def make_arrow_span_mapper(
             for r in range(nrows):
                 a, b = offs[r], offs[r + 1]
                 k = b - a
-                if k == 0:
+                if k == 0 or (valid is not None and not valid[r]):
                     f_s.append(0); f_e.append(0); f_i.append(-1); f_r.append(-1)
                     f_off.append(len(f_s))
                     if include_search:

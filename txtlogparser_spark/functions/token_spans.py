@@ -58,20 +58,83 @@ from txtlogparser_spark.functions.spans import (
 
 # ---------------------------------------------------------------- gating
 
-# Regex constructs that could let a match extend past a word edge or
-# depend on context outside the word. Conservative: anything suspicious
-# disables the fast path (the generic extractor is always correct).
-_NON_WORD_LOCAL = (
-    " ",      # literal separator
-    "\\s", "\\S",  # \S matches every non-space but \s breaks locality;
-                    # \S is fine semantically but keep the check simple
-    "\\W", "\\D",  # classes containing the space character
-    "\\A", "\\Z", "^", "$",  # anchors see the line, not the word
-    "(?=", "(?!", "(?<",     # lookarounds peek past the candidate
-    ".",      # dot matches the separator (DOTALL or not)
-    "[^",     # negated class likely contains space
-    "\\x20", "\\040", "\\N{SPACE}",
-)
+# Word-locality is decided on the PARSED regex tree (sre_parse), not the
+# pattern text: textual scans miss e.g. ranges spanning 0x20 ('[\x1f-\x21]')
+# or the ' ' escape, silently enabling the fast path for matchers
+# that can match the separator. The tree walk whitelists node kinds it
+# understands and rejects everything else — the generic extractor is
+# always correct, so false negatives only cost speed.
+
+
+def _class_contains_space(items) -> bool:
+    """Can this character class ([...] / \\d / \\S ...) match 0x20?
+    Conservative: unknown constructs count as yes."""
+    negate = any(str(op) == "NEGATE" for op, _ in items)
+    positive = False
+    for op, arg in items:
+        k = str(op)
+        if k == "NEGATE":
+            continue
+        if k == "LITERAL":
+            positive = positive or arg == 0x20
+        elif k == "RANGE":
+            positive = positive or (arg[0] <= 0x20 <= arg[1])
+        elif k == "CATEGORY":
+            cat = str(arg)
+            if cat in ("CATEGORY_WORD", "CATEGORY_DIGIT", "CATEGORY_NOT_SPACE"):
+                pass  # cannot match 0x20
+            elif cat in (
+                "CATEGORY_SPACE",
+                "CATEGORY_NOT_WORD",
+                "CATEGORY_NOT_DIGIT",
+            ):
+                positive = True
+            else:
+                return True  # unknown category: conservative
+        else:
+            return True  # unknown class item: conservative
+    return (not positive) if negate else positive
+
+
+def _word_local_nodes(items) -> bool:
+    """Walk a parsed subpattern: False if any construct could match the
+    separator, see line-level context (anchors, lookarounds, dot,
+    backrefs), or is unrecognized."""
+    for op, arg in items:
+        k = str(op)
+        if k == "LITERAL":
+            if arg == 0x20:
+                return False
+        elif k == "NOT_LITERAL":
+            if arg != 0x20:
+                return False  # matches every char but one ⇒ matches space
+        elif k == "IN":
+            if _class_contains_space(arg):
+                return False
+        elif k == "BRANCH":
+            if not all(_word_local_nodes(br) for br in arg[1]):
+                return False
+        elif k == "SUBPATTERN":
+            if not _word_local_nodes(arg[3]):
+                return False
+        elif k in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            if not _word_local_nodes(arg[2]):
+                return False
+        elif k == "ATOMIC_GROUP":
+            if not _word_local_nodes(arg):
+                return False
+        elif k == "AT":
+            # \b/\B are word-local: the separator and the word edge are
+            # both non-word, so boundary status inside one word is
+            # identical whether the word is seen isolated or in the line.
+            # Line anchors (^ $ \A \Z) are not.
+            if str(arg) not in ("AT_BOUNDARY", "AT_NON_BOUNDARY"):
+                return False
+        else:
+            # ASSERT/ASSERT_NOT (lookarounds), ANY (dot), GROUPREF
+            # (backrefs), anything new: not word-local
+            return False
+    return True
 
 
 def pattern_word_local(pattern: str, is_regex: bool) -> bool:
@@ -79,19 +142,20 @@ def pattern_word_local(pattern: str, is_regex: bool) -> bool:
     separator-delimited word and needs no context beyond it."""
     if not is_regex:
         return " " not in pattern
-    if any(tok in pattern for tok in _NON_WORD_LOCAL):
-        return False
-    # empty-length matches can be positioned AT a separator, which belongs
-    # to no word; with anchors/lookarounds excluded the pattern is
-    # context-free, so "can match empty anywhere" ⇔ fullmatch("")
     try:
-        if re.compile(pattern).fullmatch(""):
+        creg = re.compile(pattern)
+        # empty-length matches can be positioned AT a separator, which
+        # belongs to no word; with anchors/lookarounds excluded the
+        # pattern is context-free, so "can match empty anywhere" ⇔
+        # fullmatch("")
+        if creg.fullmatch(""):
             return False
-    except re.error:
-        return False  # invalid regex: let config validation report it
-    # character classes: any class containing a literal space already
-    # caught by " " above; escaped specials \. \[ etc. are word-local
-    return True
+        from re import _parser  # CPython internal, guarded
+
+        items = _parser.parse(pattern)
+    except Exception:
+        return False  # invalid regex / no parser: never enable fast path
+    return _word_local_nodes(items)
 
 
 def matchers_word_local(

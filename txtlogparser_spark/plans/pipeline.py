@@ -194,6 +194,15 @@ class LogPipeline:
             else token_tables
         )
         use_arrow = use_tokens if arrow_path is None else (arrow_path and use_tokens)
+        if not use_arrow and not assembled:
+            # flat f_*/s_* sink columns exist only on the mapInArrow path;
+            # silently assembling instead would break flat-sink consumers
+            # (e.g. filter_metrics_flat) with a missing-column error later
+            raise ValueError(
+                "assembled=False requires the arrow token-table path "
+                "(matchers must be word-local and arrow_path must not be "
+                "disabled); got use_arrow=False"
+            )
         if use_arrow:
             # zero-copy batch path: flat span columns appended by
             # mapInArrow, structs assembled JVM-side from top level
@@ -253,10 +262,18 @@ class LogPipeline:
                     include_text=with_text,
                 )
             else:
+                if not with_text:
+                    # the generic extractor materializes text by nature;
+                    # honoring with_text=False silently would change the
+                    # sink schema depending on matcher shape
+                    raise ValueError(
+                        "with_text=False requires the token-table path "
+                        "(word-local matchers); the generic extractor "
+                        "always materializes text"
+                    )
                 fused_udf = make_fused_extractor(
                     self.vocab, filters, searches, include_search=with_search
                 )
-                with_text = True
             df = df.withColumn("_flat", fused_udf(F.col("tokens")))
             if with_text:
                 df = df.withColumn("text", F.col("_flat.text"))

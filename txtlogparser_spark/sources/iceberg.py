@@ -49,6 +49,11 @@ def write_sequences(
 ) -> None:
     """Write partitioned by source (the Iceberg partition-spec analog)."""
     spark = df.sparkSession
+    if mode not in ("overwrite", "append"):
+        # keep semantics identical across the Iceberg and parquet paths:
+        # the Iceberg writer has no error/ignore analog, so mapping them
+        # to append would silently diverge from the parquet fallback
+        raise ValueError(f"write_sequences supports overwrite/append, got {mode!r}")
     if "/" not in location and iceberg_available(spark):
         writer = df.writeTo(location).partitionedBy(df.source)
         if mode == "overwrite":

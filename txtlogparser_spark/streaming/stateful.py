@@ -111,10 +111,16 @@ def sessionize(
                 cur = list(state.get)
             else:
                 cur = None
-            for pdf in pdfs:
-                if pdf.empty:
-                    continue
-                pdf = pdf.sort_values("ts")
+            # One key's micro-batch data may arrive as SEVERAL Arrow
+            # chunks (groups larger than the Arrow batch size); sorting
+            # per-chunk would process events out of time order and move
+            # session boundaries wrongly — materialize and sort ONCE per
+            # key. Per-key data is session-scale, not table-scale, so
+            # this stays bounded.
+            parts = [pdf for pdf in pdfs if not pdf.empty]
+            if parts:
+                pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+                pdf = pdf.sort_values("ts", kind="mergesort")
                 ts_us = pdf["ts"].astype("int64").to_numpy()  # epoch us? ns
                 # pandas datetime64[ns] → ns; convert to us
                 ts_us = ts_us // 1000
@@ -126,7 +132,12 @@ def sessionize(
                         closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                         cur = [int(t), int(t), 1, float(v)]
                     else:
-                        cur[1] = int(t)
+                        # min/max guards: an event later micro-batches
+                        # deliver late (t inside the current gap window
+                        # but before session_end) must not move the
+                        # boundaries backwards
+                        cur[0] = min(cur[0], int(t))
+                        cur[1] = max(cur[1], int(t))
                         cur[2] += 1
                         cur[3] += float(v)
             if cur is not None:
