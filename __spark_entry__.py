@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "orders_rollup": q_orders_rollup,
         "log_overlay": q_log_overlay,
+        "log_ingest_tokenize": q_log_ingest_tokenize,
         "log_page_offset": q_log_page_offset,
         "log_nav_next": q_log_nav_next,
         "multimodal_features": q_multimodal_features,
@@ -956,6 +957,21 @@ def oracle_sql() -> dict[str, str]:
             FROM surv s LEFT JOIN fcnt USING(doc_id) LEFT JOIN scnt USING(doc_id) JOIN ecnt USING(doc_id)
             ORDER BY doc_id
         """,
+        "log_ingest_tokenize": """
+            WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+            ids AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS id FROM words),
+            p AS (
+              SELECT doc_id,
+                unnest(string_split(text, ' ')) AS w,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            )
+            SELECT p.doc_id AS doc_id,
+              CAST(COUNT(*) AS INT) AS n_tok,
+              CAST(SUM(CAST(pos AS BIGINT) * id) AS BIGINT) AS tok_checksum
+            FROM p JOIN ids ON p.w = ids.w
+            GROUP BY p.doc_id
+        """,
         "log_page_offset": """
             WITH l AS (
               SELECT doc_id, source,
@@ -1066,6 +1082,29 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ------------------------------------------------- round-1 extension queries
+
+def q_log_ingest_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 text→tokens half (sources/textlog.py): build a corpus vocabulary
+    (sorted distinct words → dense ids) and tokenize every document with
+    the Catalyst literal-map tokenizer; emit a position-weighted token
+    checksum so the DuckDB oracle verifies the exact id assignment and
+    ordering, not just counts."""
+    from txtlogparser_spark.sources.textlog import build_vocab, tokenize_expr
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab = build_vocab(d)
+    toks = d.withColumn("tokens", tokenize_expr(vocab))
+    weighted = F.transform(
+        "tokens", lambda t, i: t.cast("long") * (i.cast("long") + 1)
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_checksum"),
+    )
+
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 md5-minhashes →

@@ -1,0 +1,144 @@
+"""Raw-log ingestion (S1 text half): scrub parity with the oracle,
+tokens→text→tokens round trip, small-vocab vs join tokenizer equality,
+and end-to-end ingest→pipeline→routed equality vs the pure-Python oracle
+on the raw lines (SURVEY §5 round-trip item)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from txtlogparser_spark.config import FilterSpec, SearchSpec, WorkspaceConfig
+from txtlogparser_spark.functions.detokenize import make_detokenizer
+from txtlogparser_spark.oracle import LineRec, run_pipeline
+from txtlogparser_spark.oracle.matcher import scrub_line
+from txtlogparser_spark.sources.textlog import (
+    build_vocab,
+    ingest_log,
+    read_log_lines,
+    tokenize_expr,
+    tokenize_via_join,
+    vocab_dim,
+)
+
+RAW_LINES = [
+    "error scan failed on node 7",
+    "JOIN completed  with big batch",   # double space → empty word
+    "plain line nothing here",
+    "carriage\rinside and trailing\r",  # interior \r → ' ', trailing \r stripped
+    "",                                 # empty line
+    "filter applied to query stream",
+]
+
+
+@pytest.fixture(scope="module")
+def log_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("logs") / "app.log"
+    p.write_text("\n".join(RAW_LINES) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def expected_scrubbed():
+    return [scrub_line(l + "\n") for l in RAW_LINES]
+
+
+def test_scrub_matches_oracle(spark, log_file):
+    got = [
+        r["text"]
+        for r in read_log_lines(spark, log_file, source="app")
+        .orderBy("line_no")
+        .collect()
+    ]
+    assert got == expected_scrubbed()
+
+
+def test_roundtrip_text_tokens_text(spark, log_file):
+    seqs, vocab = ingest_log(spark, log_file, source="app")
+    detok = make_detokenizer(vocab)
+    back = (
+        seqs.withColumn("text", detok("tokens"))
+        .withColumn("line_no", F.substring_index("doc_id", "-", -1).cast("int"))
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [r["text"] for r in back] == expected_scrubbed()
+    # tokens → text → tokens is the identity for corpus-built vocab
+    retok = (
+        seqs.withColumn("text", detok("tokens"))
+        .withColumn("tokens2", tokenize_expr(vocab))
+        .collect()
+    )
+    for r in retok:
+        assert list(r["tokens"]) == list(r["tokens2"]), r["doc_id"]
+    # n_tok + doc_id shape match the canonical sequences schema
+    for r in back:
+        assert r["n_tok"] == len(r["tokens"])
+        assert r["doc_id"] == f"app-{r['line_no']:08d}"
+
+
+def test_join_tokenizer_matches_literal(spark, log_file):
+    lines = read_log_lines(spark, log_file, source="app")
+    vocab = build_vocab(lines)
+    lit = lines.withColumn("tokens", tokenize_expr(vocab)).select(
+        "line_no", "tokens"
+    )
+    join = tokenize_via_join(lines, vocab_dim(spark, vocab)).select(
+        "line_no", "tokens"
+    )
+    a = {r["line_no"]: list(r["tokens"]) for r in lit.collect()}
+    b = {r["line_no"]: list(r["tokens"]) for r in join.collect()}
+    assert a == b
+    # OOV words map to UNK_ID on both paths
+    oov = spark.createDataFrame(
+        [("app", 99, "scan UNSEEN word")], "source string, line_no int, text string"
+    )
+    la = oov.withColumn("tokens", tokenize_expr(vocab)).collect()[0]["tokens"]
+    lb = tokenize_via_join(oov, vocab_dim(spark, vocab)).collect()[0]["tokens"]
+    assert list(la) == list(lb)
+    assert -1 in list(la)
+
+
+def test_ingest_pipeline_matches_oracle_on_raw_lines(spark, log_file):
+    """Ingested text log → LogPipeline → routed set equals the pure-Python
+    oracle run over the scrubbed raw lines."""
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+
+    ws = WorkspaceConfig(
+        id=1,
+        name="ingest-ws",
+        filters=[
+            FilterSpec(11, 0, "scan", caseSensitive=True, wholeWord=False, regex=False),
+            FilterSpec(12, 1, "JOIN", caseSensitive=False, wholeWord=True, regex=False),
+            FilterSpec(13, 2, "b(ig|atch)", caseSensitive=False, wholeWord=False, regex=True),
+            FilterSpec(14, 3, "filter", caseSensitive=True, wholeWord=True, regex=False),
+        ],
+        searches=[
+            SearchSpec(21, 0, "query", caseSensitive=False, wholeWord=False, regex=False)
+        ],
+    ).validate()
+
+    seqs, vocab = ingest_log(spark, log_file, source="app")
+    pipe = LogPipeline(spark, ws, vocab)
+    routed = pipe.run(seqs, with_search=True).collect()
+
+    scrubbed = expected_scrubbed()
+    recs = [
+        LineRec(
+            doc_id=f"app-{i:08d}", source="app", source_rank=0, line_no=i, text=t
+        )
+        for i, t in enumerate(scrubbed)
+    ]
+    oracle = run_pipeline(recs, ws)
+    want = {ol.rec.doc_id: ol for ol in oracle.lines}
+
+    assert {r["doc_id"] for r in routed} == set(want)
+    for r in routed:
+        ol = want[r["doc_id"]]
+        assert r["text"] == ol.rec.text
+        got_spans = [
+            (s["start"], s["end"], s["filter_id"]) for s in r["filter_spans"]
+        ]
+        exp_spans = [(s.start, s.end, s.filter_id) for s in ol.filter_spans]
+        assert got_spans == exp_spans, r["doc_id"]
