@@ -37,6 +37,39 @@ class ConfigError(ValueError):
     """Raised for invalid workspace configuration."""
 
 
+# ---- color validation (ColorData.cpp:65-88) ----
+
+def relative_luminance(r: int, g: int, b: int) -> float:
+    """WCAG 2.0 relative luminance (ColorData::calculateLuminance,
+    ColorData.cpp:77-88): sRGB channels linearized then weighted."""
+    def lin(c: float) -> float:
+        c = c / 255.0
+        return c / 12.92 if c <= 0.03928 else ((c + 0.055) / 1.055) ** 2.4
+
+    return 0.2126 * lin(r) + 0.7152 * lin(g) + 0.0722 * lin(b)
+
+
+def is_color_valid(hex_color: str) -> bool:
+    """ColorData::isColorValid (ColorData.cpp:65-75): '#RRGGBB' or
+    'RRGGBB' shape, and WCAG relative luminance within [0.2, 0.8]
+    (readable against both light and dark backgrounds)."""
+    h = hex_color
+    if not h:
+        return False
+    if h[0] == "#":
+        if len(h) != 7:
+            return False
+        h = h[1:]
+    elif len(h) != 6:
+        return False
+    try:
+        color = int(h, 16)
+    except ValueError:
+        return False
+    r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
+    return 0.2 <= relative_luminance(r, g, b) <= 0.8
+
+
 @dataclass(frozen=True)
 class MatcherSpec:
     """Shared shape of filters and searches (FilterData.h:68-76 /
@@ -51,10 +84,15 @@ class MatcherSpec:
     enabled: bool = True
     color: str = ""
 
-    def validate(self) -> None:
+    def validate(self, invalid_regex: str = "reject") -> None:
+        """invalid_regex: 'reject' (default — fail fast at config load) or
+        'match_nothing' (reference compatibility: FilterData.cpp:234-237
+        logs the regex_error at match time and emits no spans, so an
+        invalid-regex filter claims nothing and, filter-first, drops every
+        row it alone would route)."""
         if not self.pattern:
             raise ConfigError(f"matcher id={self.id}: empty pattern")
-        if self.regex:
+        if self.regex and invalid_regex == "reject":
             try:
                 re.compile(self.pattern)
             except re.error as e:
@@ -67,9 +105,15 @@ class MatcherSpec:
         flag handling (FilterData.cpp:161-238): icase when not caseSensitive,
         wholeWord wraps the pattern in \\b...\\b.
 
+        An invalid pattern (only reachable under validate(invalid_regex=
+        'match_nothing')) compiles to the never-matching '(?!)' — span-for-
+        span the reference's catch-and-log behavior (FilterData.cpp:234-237:
+        no sublines emitted).
+
         Dialect note: the reference uses ECMAScript std::regex; we standardize
         on Python `re`. Divergences (e.g. ECMAScript lacks lookbehind pre-C++23,
-        differing \\b corner cases) are documented, not emulated.
+        differing \\b corner cases) are documented, not emulated — the delta
+        corpus lives in tests/test_regex_dialect.py.
         """
         if not self.regex:
             return None
@@ -77,7 +121,10 @@ class MatcherSpec:
         if self.wholeWord:
             pat = r"\b" + pat + r"\b"  # FilterData.cpp:167
         flags = 0 if self.caseSensitive else re.IGNORECASE
-        return re.compile(pat, flags)
+        try:
+            return re.compile(pat, flags)
+        except re.error:
+            return re.compile(r"(?!)")  # matches nothing, ever
 
 
 @dataclass(frozen=True)
@@ -113,13 +160,22 @@ class WorkspaceConfig:
     searches: list[SearchSpec] = field(default_factory=list)
     sources: list[SourceSpec] = field(default_factory=list)
 
-    def validate(self) -> "WorkspaceConfig":
+    def validate(
+        self, invalid_regex: str = "reject", require_valid_colors: bool = False
+    ) -> "WorkspaceConfig":
+        if invalid_regex not in ("reject", "match_nothing"):
+            raise ConfigError(f"invalid_regex mode {invalid_regex!r}")
         seen: set[int] = set()
         for m in [*self.filters, *self.searches]:
-            m.validate()
+            m.validate(invalid_regex=invalid_regex)
             if m.id in seen:
                 raise ConfigError(f"duplicate matcher id {m.id}")
             seen.add(m.id)
+            if require_valid_colors and m.color and not is_color_valid(m.color):
+                raise ConfigError(
+                    f"matcher id={m.id}: color {m.color!r} fails shape/WCAG-"
+                    "luminance validation (ColorData.cpp:65-75)"
+                )
         for coll, kind in ((self.filters, "filter"), (self.searches, "search")):
             rows = [m.row for m in coll]
             if len(rows) != len(set(rows)):
@@ -138,7 +194,7 @@ class WorkspaceConfig:
 
     # ---- (de)serialization, reference-compatible field names ----
     @classmethod
-    def from_dict(cls, d: dict) -> "WorkspaceConfig":
+    def from_dict(cls, d: dict, invalid_regex: str = "reject") -> "WorkspaceConfig":
         return cls(
             id=d.get("id", 1),
             name=d.get("name", "workspace"),
@@ -152,7 +208,7 @@ class WorkspaceConfig:
                 )
                 for i, s in enumerate(d.get("sources", []))
             ],
-        ).validate()
+        ).validate(invalid_regex=invalid_regex)
 
     def to_dict(self) -> dict:
         return {
@@ -189,15 +245,22 @@ def _matcher_from_dict(cls, d: dict):
     )
 
 
-def load_workspaces(path: str) -> list[WorkspaceConfig]:
+def load_workspaces(
+    path: str, invalid_regex: str = "reject"
+) -> list[WorkspaceConfig]:
     """Load a workspaces.json (WorkspaceManager.cpp:78-143): version-check the
-    root `formatVersion`, refuse incompatible files."""
+    root `formatVersion`, refuse incompatible files. invalid_regex=
+    'match_nothing' loads reference-era fixtures byte-for-byte even when
+    they contain invalid regex patterns (see MatcherSpec.validate)."""
     with open(path) as fh:
         doc = json.load(fh)
     version = doc.get("formatVersion")
     if version != FORMAT_VERSION:
         raise ConfigError(f"unsupported formatVersion {version!r}")
-    return [WorkspaceConfig.from_dict(w) for w in doc.get("workspaces", [])]
+    return [
+        WorkspaceConfig.from_dict(w, invalid_regex=invalid_regex)
+        for w in doc.get("workspaces", [])
+    ]
 
 
 def save_workspaces(path: str, workspaces: Iterable[WorkspaceConfig]) -> None:
