@@ -72,16 +72,21 @@ seqs = pipe.load_sequences(f"{{data}}/sequences")
 # from timing, per protocol: wall-clock of the job excluding cluster
 # startup + worker spin-up; a limit() warmup only touches one task and
 # leaves 31 workers to cold-start inside trial 1)
-routed = pipe.run(seqs, with_text=False, assembled=False)
-metrics = one_pass_metrics_flat(routed)
-metrics.collect()
+one_pass_metrics_flat(
+    pipe.run(seqs, with_text=False, assembled=False)
+).collect()
 
 times = []
 for t in range({trials}):
     t0 = time.perf_counter()
+    # Build the plan FRESH each trial: re-collecting one DataFrame object
+    # lets Spark reuse the registered shuffle map outputs of the previous
+    # job (same RDD lineage -> same shuffle id), which skips the entire
+    # parse stage and destroys the measurement (observed: 0.09s "trials").
+    routed = pipe.run(seqs, with_text=False, assembled=False)
     # ONE job: parse -> route -> per-filter metrics + routed-row count;
     # shuffle carries only (filter_id, partial sums)
-    m = {{r["filter_id"]: r for r in metrics.collect()}}
+    m = {{r["filter_id"]: r for r in one_pass_metrics_flat(routed).collect()}}
     n = m[ALL_ROWS_SENTINEL]["line_count"]
     times.append(time.perf_counter() - t0)
 print(json.dumps({{"execs": execs, "cores": cores, "rows_in": {rows},

@@ -180,6 +180,172 @@ def test_sessionize_matches_batch_sessionization(spark, tmp_path):
     assert len(got) == 3  # A, B (user 1) + user 2's first
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_sessionize_native_watermark_closes_idle_session(spark, tmp_path):
+    """Idle sessions are closed and emitted when the event-time watermark
+    passes them — the timeout path this build supports (built-in
+    session_window; the legacy state-API timeout crashes, pinned in
+    streaming/stateful.py)."""
+    from txtlogparser_spark.streaming.stateful import sessionize_native
+
+    src = str(tmp_path / "nat_in")
+    out = str(tmp_path / "out")
+    _write_events(spark, src, [(1, ts(0), 1.0), (1, ts(10), 2.0)])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_native(stream, gap_seconds=30, watermark="10 seconds")
+    _drain(sessions, out, "nat")
+    p = os.path.join(out, "nat")
+    got = spark.read.parquet(p).collect()
+    assert all(r["user_id"] != 1 for r in got)  # watermark not past it yet
+
+    # an event far in the future advances the watermark → idle session of
+    # user 1 is finalized and appended, with exact event-time bounds
+    _write_events(spark, src, [(2, ts(10_000), 5.0)])
+    _drain(sessions, out, "nat")
+    got = {r["user_id"]: r for r in spark.read.parquet(p).collect()}
+    assert 1 in got, got
+    assert got[1]["session_start"] == ts(0)
+    assert got[1]["session_end"] == ts(10)
+    assert got[1]["n_events"] == 2
+    assert got[1]["value_sum"] == 3.0
+    assert 2 not in got  # user 2's session still open
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState Python client needs google.protobuf "
+    "(absent in this container; sessionize_tws raises a documented "
+    "ImportError — pinned below in test_sessionize_tws_unavailable)",
+)
+def test_sessionize_tws_timer_closes_idle_session(spark, tmp_path):
+    """Timeout-closed sessions via the Spark 4 transformWithStateInPandas
+    timer path (the legacy ProcessingTimeTimeout path crashes this build —
+    repro pinned in streaming/stateful.py docstring)."""
+    import time
+
+    from txtlogparser_spark.streaming.stateful import sessionize_tws
+
+    src = str(tmp_path / "tws_in")
+    out = str(tmp_path / "out")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(spark, src, [(1, ts(0), 1.0), (1, ts(10), 2.0)])
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize_tws(stream, gap_seconds=1800, timeout_ms=1500)
+        _drain(sessions, out, "tws")
+        got = (
+            spark.read.parquet(os.path.join(out, "tws")).collect()
+            if os.path.exists(os.path.join(out, "tws"))
+            else []
+        )
+        assert all(r["user_id"] != 1 for r in got)  # still open, no timer yet
+
+        time.sleep(2.5)  # let the 1.5s processing-time timer expire
+        _write_events(spark, src, [(2, ts(5000), 5.0)])
+        _drain(sessions, out, "tws")
+        got = spark.read.parquet(os.path.join(out, "tws")).collect()
+        by_user = {r["user_id"]: r for r in got}
+        # user 1's idle session was closed BY THE TIMER, not by an event
+        assert 1 in by_user, got
+        assert by_user[1]["session_start"] == ts(0)
+        assert by_user[1]["session_end"] == ts(10)
+        assert by_user[1]["n_events"] == 2
+        assert by_user[1]["value_sum"] == 3.0
+        # user 2's fresh session is still open
+        assert 2 not in by_user
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sessionize_tws_unavailable_raises_cleanly(spark):
+    """Without protobuf the new-API path fails FAST with a pointer to the
+    supported alternatives, not with a worker-side ImportError mid-query."""
+    if _has_protobuf():
+        pytest.skip("protobuf present: covered by the timer test instead")
+    from txtlogparser_spark.streaming.stateful import sessionize_tws
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as user_id", "timestamp as ts", "1.0 as value")
+    )
+    with pytest.raises(ImportError, match="sessionize_native"):
+        sessionize_tws(stream, gap_seconds=10, timeout_ms=100)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState Python client needs google.protobuf",
+)
+def test_sessionize_tws_gap_parity_with_legacy(spark, tmp_path):
+    """Without timers, the new-API sessionizer emits exactly what the
+    legacy one does (same gap semantics, same schema)."""
+    from txtlogparser_spark.streaming.stateful import sessionize_tws
+
+    src = str(tmp_path / "twsp_in")
+    out = str(tmp_path / "out")
+    rows1 = [(1, ts(0), 1.0), (1, ts(100), 2.0), (2, ts(50), 5.0)]
+    rows2 = [(1, ts(4000), 1.5), (2, ts(9000), 1.0), (1, ts(9000), 9.0)]
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(spark, src, rows1)
+        schema = spark.read.parquet(src).schema
+
+        def drain_all(fn, name):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            _drain(fn(stream, gap_seconds=1800), out, name)
+
+        drain_all(sessionize_tws, "tws_p")
+        drain_all(sessionize, "leg_p")
+        _write_events(spark, src, rows2)
+        drain_all(sessionize_tws, "tws_p")
+        drain_all(sessionize, "leg_p")
+        key = lambda r: (
+            r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["value_sum"],
+        )
+        tws = sorted(key(r) for r in spark.read.parquet(os.path.join(out, "tws_p")).collect())
+        leg = sorted(key(r) for r in spark.read.parquet(os.path.join(out, "leg_p")).collect())
+        assert tws == leg and len(tws) == 3
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_watermarked_route_counts(spark, tmp_path):
     src = str(tmp_path / "routed_in")
     out = str(tmp_path / "out")

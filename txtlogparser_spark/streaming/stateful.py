@@ -72,6 +72,43 @@ def watermarked_route_counts(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window — the most
+    Catalyst-native shape: state is managed by the streaming aggregation
+    operator (no Python in the loop), merged incrementally, and bounded
+    by the watermark. Idle sessions are CLOSED AND EMITTED when the
+    event-time watermark passes session_end + gap — the event-time
+    analog of processing-time session timeout, and the path this build
+    actually supports for timeout-closed sessions (the legacy state-API
+    timeout crashes, see `sessionize`; transformWithState needs protobuf
+    this container lacks, see `sessionize_tws`).
+
+    Same output schema as `sessionize`. Semantics delta: session_start/
+    session_end are the window BOUNDS only when derived from min/max
+    event times — we aggregate min(ts)/max(ts) explicitly so the output
+    matches the custom operators row-for-row on in-gap data."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, f"{gap_seconds} seconds"), "user_id"
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "value_sum"
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -86,10 +123,16 @@ def sessionize(
     micro-batches.
 
     `timeout_ms=None` (default) uses NoTimeout: this pyspark build's
-    Python worker crashes hard (no traceback) when
-    GroupStateTimeout.ProcessingTimeTimeout is combined with
-    setTimeoutDuration, so timeout-based session expiry is opt-in for
-    environments where that code path works.
+    legacy-API timeout path is broken — minimal repro (pinned while
+    diagnosing, Spark 4.1.2): ProcessingTimeTimeout + setTimeoutDuration
+    fails on the batch where a state times out, flakily as either
+    "Python worker exited unexpectedly (crashed)" or a planning-phase
+    [INTERNAL_ERROR] NullPointerException (SparkPlan.session() null) —
+    both before user code in the hasTimedOut branch runs. Timeout-based
+    expiry is therefore served by `sessionize_tws` (the Spark 4
+    transformWithStateInPandas API with per-key timers), which is tested
+    end-to-end; this legacy entry point keeps timeout_ms opt-in for
+    builds where the old path works.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -171,4 +214,113 @@ def sessionize(
                 else GroupStateTimeout.NoTimeout
             ),
         )
+    )
+
+
+def sessionize_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Gap sessionization on the Spark 4 stateful API
+    (transformWithStateInPandas): per-key ValueState + processing-time
+    TIMERS close idle sessions — the timeout semantics the legacy
+    applyInPandasWithState path cannot run on this build (see `sessionize`
+    docstring for the pinned repro). Same output schema and gap semantics
+    as `sessionize`; parity pinned by tests/test_streaming_stateful.py.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider), a transformWithState constraint —
+    and `google.protobuf` (the transformWithState Python client speaks a
+    protobuf protocol; raise early with a clear message instead of a
+    worker-side ImportError when the container lacks it).
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "sessionize_tws needs google.protobuf (transformWithState "
+            "client protocol); not installed in this environment — use "
+            "sessionize_native (event-time session_window + watermark "
+            "closure) or legacy sessionize instead"
+        ) from e
+
+    import pandas as pd  # local import keeps worker pickling lean
+
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": pd.to_datetime([r[1] for r in rows], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in rows], unit="us"),
+                "n_events": [r[3] for r in rows],
+                "value_sum": [r[4] for r in rows],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("session", _STATE_SCHEMA)
+
+        def _reset_timer(self, timerValues: "TimerValues") -> None:
+            if timeout_ms is None:
+                return
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + timeout_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            user_id = key[0]
+            cur = list(self.state.get()) if self.state.exists() else None
+            closed = []
+            parts = [pdf for pdf in rows if not pdf.empty]
+            if parts:
+                pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+                pdf = pdf.sort_values("ts", kind="mergesort")
+                ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+                vals = pdf["value"].to_numpy()
+                for t, v in zip(ts_us, vals):
+                    if cur is None:
+                        cur = [int(t), int(t), 1, float(v)]
+                    elif t - cur[1] > gap_us:
+                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                        cur = [int(t), int(t), 1, float(v)]
+                    else:
+                        cur[0] = min(cur[0], int(t))
+                        cur[1] = max(cur[1], int(t))
+                        cur[2] += 1
+                        cur[3] += float(v)
+            if cur is not None:
+                self.state.update(tuple(cur))
+                self._reset_timer(timerValues)
+            if closed:
+                yield _emit(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo: "ExpiredTimerInfo"):
+            if self.state.exists():
+                s, e, n, vs = self.state.get()
+                self.state.clear()
+                yield _emit([(key[0], s, e, n, vs)])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
     )
