@@ -55,20 +55,25 @@ def matches_table(
     )
 
 
-def _first_span(df: DataFrame) -> Optional[Tuple[int, int, int]]:
-    row = df.orderBy("output_index", "start").limit(1).collect()
-    if not row:
+def _nav_pick(m: DataFrame, cls, agg) -> Optional[Tuple[int, int, int]]:
+    """ONE aggregation job: tag each span with a priority class and take
+    the min/max of struct(cls, output_index, start, end) — struct
+    comparison is lexicographic, so the best class wins, then line order,
+    then within-line scan order. Replaces the previous up-to-3 sequential
+    point queries per navigation call."""
+    row = m.agg(
+        agg(
+            F.struct(
+                cls.alias("cls"),
+                F.col("output_index").alias("output_index"),
+                F.col("start").alias("start"),
+                F.col("end").alias("end"),
+            )
+        ).alias("best")
+    ).collect()[0]["best"]
+    if row is None:
         return None
-    r = row[0]
-    return (r["output_index"], r["start"], r["end"])
-
-
-def _last_line_first_scan_reversed(df: DataFrame) -> Optional[Tuple[int, int, int]]:
-    row = df.orderBy(F.desc("output_index"), F.desc("start")).limit(1).collect()
-    if not row:
-        return None
-    r = row[0]
-    return (r["output_index"], r["start"], r["end"])
+    return (row["output_index"], row["start"], row["end"])
 
 
 def next_match(
@@ -76,19 +81,16 @@ def next_match(
 ) -> Optional[Tuple[int, int, int]]:
     """getNextMatchByFilter/Search (OutputData.cpp:526-575): first claimed
     span at (line, start>=char); else first span of the next matching line
-    with wraparound to the globally first."""
+    with wraparound to the globally first. Single aggregation: priority
+    class 0 = cursor line at/after char, 1 = later lines, 2 = wrap —
+    min(struct) picks the first span of the best class's first line."""
     m = matches.where(F.col("matcher_id") == matcher_id)
-    hit = _first_span(m.where((F.col("output_index") == line) & (F.col("start") >= char)))
-    if hit:
-        return hit
-    hit = _first_span(m.where(F.col("output_index") > line))
-    if hit:
-        # first claimed span of that line
-        return _first_span(m.where(F.col("output_index") == hit[0]))
-    hit = _first_span(m)  # wrap
-    if hit:
-        return _first_span(m.where(F.col("output_index") == hit[0]))
-    return None
+    cls = (
+        F.when((F.col("output_index") == line) & (F.col("start") >= char), 0)
+        .when(F.col("output_index") > line, 1)
+        .otherwise(2)
+    )
+    return _nav_pick(m, cls, F.min)
 
 
 def prev_match(
@@ -96,27 +98,14 @@ def prev_match(
 ) -> Optional[Tuple[int, int, int]]:
     """getPreviousMatchByFilter/Search (OutputData.cpp:577-641): last claimed
     span at (line, start<char); else last span of the previous matching line
-    with wraparound to the globally last."""
+    (reverse scan, OutputData.cpp:616-628) with wraparound to the globally
+    last. Single aggregation, mirrored: class 2 = cursor line before char,
+    1 = earlier lines, 0 = wrap — max(struct) picks the last span of the
+    best class's last line."""
     m = matches.where(F.col("matcher_id") == matcher_id)
-    row = (
-        m.where((F.col("output_index") == line) & (F.col("start") < char))
-        .orderBy(F.desc("start"))
-        .limit(1)
-        .collect()
+    cls = (
+        F.when((F.col("output_index") == line) & (F.col("start") < char), 2)
+        .when(F.col("output_index") < line, 1)
+        .otherwise(0)
     )
-    if row:
-        r = row[0]
-        return (r["output_index"], r["start"], r["end"])
-    row = (
-        m.where(F.col("output_index") < line)
-        .orderBy(F.desc("output_index"), F.desc("start"))
-        .limit(1)
-        .collect()
-    )
-    if not row:
-        row = m.orderBy(F.desc("output_index"), F.desc("start")).limit(1).collect()  # wrap
-    if not row:
-        return None
-    r = row[0]
-    # last claimed span of that line (reverse scan, OutputData.cpp:616-628)
-    return (r["output_index"], r["start"], r["end"])
+    return _nav_pick(m, cls, F.max)
