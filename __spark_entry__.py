@@ -240,38 +240,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs: 3-gram word-shingle Jaccard ≥ 0.5 via
-    shingle-explode self-join (the scalable shape: shuffle on shingle,
-    never O(n²) doc pairs)."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
-    shingles = F.when(
-        F.size("w") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("w", i + 1), F.element_at("w", i + 2), F.element_at("w", i + 3)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    """Production near-dup shape: minhash-LSH CANDIDATE GENERATION (16
+    md5-minhashes → 4 bands → bucket join; never O(n²)) followed by exact
+    3-gram Jaccard VERIFICATION restricted to the candidate pairs
+    (operators/dedup.ngram_jaccard_pairs(candidates=...)). The DuckDB
+    oracle replays the identical md5 banding, so the candidate
+    restriction is oracle-checked too. The exhaustive small-corpus mode
+    stays available on the operator and is pinned in pytest
+    (tests/test_training_ops.py)."""
+    from txtlogparser_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_table,
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+
+    d = _docs(spark, sf_dir)
+    sh = shingle_table(d)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=16), num_hashes=16, band_size=4
+    )
     return (
-        pairs.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .withColumn("jacc", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .where(F.col("jacc") >= 0.5)
-        .select("doc_a", "doc_b", "jacc")
+        ngram_jaccard_pairs(d, threshold=0.5, candidates=cands)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -553,6 +543,29 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation — the batch twin of
+    streaming.sessionize_native (same operator powers the watermarked
+    stream). Event-time session bounds as epoch seconds for cross-engine
+    determinism; decimal-summed values. Oracle replays the gap rule with
+    lag()+running-sum (session_window merges strictly-overlapping
+    per-event windows, so a new session starts at gap >= 30min)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.session_window("ts", "1800 seconds").alias("sw"), "user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("sess_start_ep"),
+            F.unix_timestamp(F.max("ts")).alias("sess_end_ep"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id", "sess_start_ep", "sess_end_ep", "n_events", "value_sum"
+        )
+        .orderBy("user_id", "sess_start_ep")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -589,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": q_brand_revenue,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "user_sessions": q_user_sessions,
+        "user_session_windows": q_user_session_windows,
     }
 
 
@@ -708,6 +722,9 @@ def oracle_sql() -> dict[str, str]:
               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
             FROM documents
         """,
+        # LSH candidates + exact verify, byte-identical md5 banding to the
+        # Spark operator chain (minhash_signatures → lsh_candidate_pairs →
+        # ngram_jaccard_pairs(candidates=...)).
         "dedup_ngram_jaccard": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
@@ -717,15 +734,39 @@ def oracle_sql() -> dict[str, str]:
                           for i in range(1, len(words) - 1)]) AS shingle
                 FROM w)
             ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
             cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
-            SELECT doc_a, doc_b,
+            SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
               ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jacc
-            FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            FROM pairs p
+            JOIN cands c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+            JOIN cnt ca ON ca.doc_id = p.doc_a
+            JOIN cnt cb ON cb.doc_id = p.doc_b
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
             ORDER BY doc_a, doc_b
         """,
@@ -1055,6 +1096,28 @@ def oracle_sql() -> dict[str, str]:
                           for i in range(0, len(chars) - 7)])
               END AS min_gram
             FROM c
+        """,
+        "user_session_windows": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM g
+            )
+            SELECT user_id,
+              CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_ep,
+              CAST(floor(epoch(MAX(ts))) AS BIGINT) AS sess_end_ep,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+            FROM s GROUP BY user_id, sess_id
+            ORDER BY user_id, sess_start_ep
         """,
         "user_sessions": """
             WITH g AS (

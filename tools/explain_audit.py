@@ -37,6 +37,10 @@ AUDITED = [
     "brand_revenue",
     "events_hourly",
     "multimodal_features",
+    "log_ingest_tokenize",
+    "user_session_windows",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
 ]
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")
