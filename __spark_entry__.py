@@ -1099,14 +1099,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_session_windows": """
             WITH g AS (
+              -- gap at MICROSECOND precision: session_window merges on the
+              -- full timestamp, so a 1799.9s gap must stay one session
+              -- even though its floored-second delta reads 1800
               SELECT user_id, event_id, ts, value,
-                CAST(floor(epoch(ts)) AS BIGINT)
-                  - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                epoch_us(ts)
+                  - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events
             ), s AS (
               SELECT user_id, ts, value,
-                SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+                SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sess_id
               FROM g
