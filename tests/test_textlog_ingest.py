@@ -54,8 +54,18 @@ def test_scrub_matches_oracle(spark, log_file):
     assert got == expected_scrubbed()
 
 
+def _vocab_list(vdf):
+    """Collect the (word, id) dim to the index==id list shape the
+    detokenizer closures take (bounded — fixture scale only)."""
+    rows = vdf.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(len(rows)))  # dense sorted ids
+    assert [r["word"] for r in rows] == sorted(r["word"] for r in rows)
+    return [r["word"] for r in rows]
+
+
 def test_roundtrip_text_tokens_text(spark, log_file):
-    seqs, vocab = ingest_log(spark, log_file, source="app")
+    seqs, vdf = ingest_log(spark, log_file, source="app")
+    vocab = _vocab_list(vdf)
     detok = make_detokenizer(vocab)
     back = (
         seqs.withColumn("text", detok("tokens"))
@@ -119,8 +129,8 @@ def test_ingest_pipeline_matches_oracle_on_raw_lines(spark, log_file):
         ],
     ).validate()
 
-    seqs, vocab = ingest_log(spark, log_file, source="app")
-    pipe = LogPipeline(spark, ws, vocab)
+    seqs, vdf = ingest_log(spark, log_file, source="app")
+    pipe = LogPipeline(spark, ws, _vocab_list(vdf))
     routed = pipe.run(seqs, with_search=True).collect()
 
     scrubbed = expected_scrubbed()

@@ -22,11 +22,12 @@ Scale shapes (everything JVM-side; no Python in the hot path):
 - tokenize, large vocab: posexplode → broadcast-join the vocab dim →
   re-assemble with array_sort over (pos, id) structs. Shuffles only
   (doc_id, pos, id) triples; the vocab dim is broadcast.
-- vocab build: distinct words of the corpus, ranked by the same
-  broadcast-prefix pattern as source ranks? No — vocab cardinality can be
-  millions, so ids come from a (sorted) window over the DISTINCT-word
-  aggregate: acceptable because it is a one-time build over the dim, not
-  the fact table; for repeated ingestion persist the vocab table.
+- vocab build: distinct words of the corpus → dense sorted ids WITHOUT
+  any driver collect or single-partition window: with_global_index
+  partitioned by the word's first character (a prefix of the sort key,
+  so per-partition rank + broadcast offsets reproduce the global sorted
+  rank). Vocab cardinality can be millions; persist the dim once for
+  repeated ingestion.
 """
 
 from __future__ import annotations
@@ -79,19 +80,42 @@ def read_log_lines(
     )
 
 
-def build_vocab(lines: DataFrame, text_col: str = "text") -> List[str]:
-    """Deterministic vocabulary: sorted distinct space-separated words of
-    the corpus (including '' when runs of spaces/empty lines occur, so
-    tokenization is lossless). Returns a Python list — the vocab is a
-    plan-build-time artifact like the reference's filter workspace; at
-    scale, persist it once and reuse (`spark.createDataFrame` it back)."""
-    rows = (
-        lines.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+def build_vocab_df(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed vocabulary dim (word, id): distinct space-separated
+    words of the corpus with dense 0-based ids in sorted (binary UTF-8)
+    order — the id assignment DuckDB's `row_number() OVER (ORDER BY w)`
+    reproduces exactly.
+
+    Scale shape (the round-2 fix for the driver-collect bottleneck):
+    nothing ever reaches the driver. The distinct-word aggregate is a
+    map-side-combined shuffle on `word`; ids come from
+    operators.windowing.with_global_index partitioned by the word's first
+    character — (first_char, word) ordering equals global word order
+    because the partition key is a prefix of the sort key — so there is
+    no single-partition window even over a multi-million-word open
+    vocabulary. Persist the result once per corpus and reuse
+    (`df.write.parquet(...)`); tokenize_via_join broadcasts it."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
+    words = (
+        lines.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .distinct()
-        .orderBy("w")
-        .collect()
+        .withColumn("_pc", F.substring("word", 1, 1))
     )
-    return [r["w"] for r in rows]
+    return (
+        with_global_index(words, "_pc", ["word"], out="id")
+        .select("word", F.col("id").cast("int").alias("id"))
+    )
+
+
+def build_vocab(lines: DataFrame, text_col: str = "text") -> List[str]:
+    """Vocabulary as a Python list (index == id) for the literal-map
+    tokenizer and detokenizer closures. This COLLECTS the vocab dim to
+    the driver — the small-vocab fast path only (bounded corpora /
+    fixtures); the scale path is build_vocab_df + tokenize_via_join,
+    which never collects."""
+    rows = build_vocab_df(lines, text_col).orderBy("id").collect()
+    return [r["word"] for r in rows]
 
 
 def tokenize_expr(vocab: Sequence[str], text_col: str = "text") -> Column:
@@ -177,25 +201,38 @@ def ingest_log(
     vocab: Optional[Sequence[str]] = None,
     *,
     source: Optional[str] = None,
-) -> "tuple[DataFrame, List[str]]":
+) -> "tuple[DataFrame, DataFrame]":
     """End-to-end S1 text half: log file(s) → sequences table
     (doc_id, tokens, n_tok, source) matching the canonical input shape
-    (FIXTURES.md: doc_id = '{source}-{line_no:08d}'). With vocab=None the
-    vocabulary is built from the corpus (lossless round trip). Returns
-    (sequences, vocab)."""
+    (FIXTURES.md: doc_id = '{source}-{line_no:08d}').
+
+    DEFAULT (vocab=None) is the scale path: the vocabulary is built as a
+    distributed dim (build_vocab_df — no driver collect) and tokenization
+    is the broadcast-join tokenizer, so an open vocabulary of millions of
+    words neither OOMs the driver nor explodes the plan with a literal
+    map. Passing an explicit small `vocab` list selects the literal-map
+    fast path (zero shuffle, whole-stage codegen).
+
+    Returns (sequences, vocab_df) where vocab_df is the (word, id) dim —
+    persist it to reuse across ingestion runs; collect it (bounded) to
+    feed detokenizer closures at fixture scale."""
     lines = read_log_lines(spark, path, source=source)
-    if vocab is None:
-        vocab = build_vocab(lines)
-    if len(vocab) <= MAP_LITERAL_MAX:
+    if vocab is not None:
+        if len(vocab) > MAP_LITERAL_MAX:
+            raise ValueError(
+                f"explicit vocab of {len(vocab)} words exceeds the literal-"
+                f"map bound ({MAP_LITERAL_MAX}); pass vocab=None to use the "
+                "distributed join tokenizer"
+            )
+        vdf = vocab_dim(spark, vocab)
         toks = lines.withColumn("tokens", tokenize_expr(vocab))
     else:
-        toks = tokenize_via_join(lines, vocab_dim(spark, vocab)).join(
-            lines, ["source", "line_no"]
-        )
+        vdf = build_vocab_df(lines)
+        toks = tokenize_via_join(lines, vdf)
     seqs = toks.select(
         F.format_string("%s-%08d", "source", "line_no").alias("doc_id"),
         "tokens",
         F.size("tokens").cast("int").alias("n_tok"),
         "source",
     )
-    return seqs, list(vocab)
+    return seqs, vdf
