@@ -137,7 +137,9 @@ def q_log_passthrough_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _doc_lines(spark, sf_dir)
     # global rn = per-source offset + line_no + 1 — no global window
     page = (
-        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("int"))
+        # rn stays LONG through the range filter (an int cast before the
+        # predicate would alias row numbers beyond 2^31 at full scale)
+        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("long"))
         .where(F.col("rn") <= 100)
         .withColumn(
             "display_prefix",
@@ -371,7 +373,9 @@ def q_log_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _doc_lines(spark, sf_dir)
     # global rn = per-source offset + line_no + 1 — no global window
     return (
-        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("int"))
+        # rn stays LONG through the range filter (an int cast before the
+        # predicate would alias row numbers beyond 2^31 at full scale)
+        lines.withColumn("rn", (F.col("_src_off") + F.col("line_no") + 1).cast("long"))
         .where((F.col("rn") >= 101) & (F.col("rn") <= 200))
         .select(
             F.col("rn").cast("long").alias("rn"),
@@ -413,6 +417,100 @@ def q_log_nav_next(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_index")
         )
         .orderBy("filter_id")
+    )
+
+
+def q_log_nav_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 batch analog (getPreviousMatchByFilter, OutputData.cpp:577-641):
+    for every filter at cursor (output_index=10, char=4), the last claimed
+    span strictly before the cursor char within the cursor line, else the
+    last span of the nearest earlier matching line (the reference's
+    reverse scan, OutputData.cpp:616-628), wrapping to the globally last
+    span. Vectorized across all filters: priority class 2/1/0 +
+    max(struct) — ONE aggregation, the same lexicographic-struct shape as
+    operators/navigation.prev_match (pytest-pinned point query)."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
+    routed = _routed(spark, sf_dir)
+    idx = with_global_index(routed, "source", ["doc_id"], out="output_index")
+    sp = F.explode("filter_spans").alias("sp")
+    m = (
+        idx.select("output_index", sp)
+        .where(F.col("sp.filter_id") != -1)
+        .select(
+            F.col("sp.filter_id").alias("filter_id"),
+            F.col("output_index").cast("long").alias("output_index"),
+            F.col("sp.start").alias("start"),
+        )
+    )
+    cls = (
+        F.when((F.col("output_index") == 10) & (F.col("start") < 4), 2)
+        .when(F.col("output_index") < 10, 1)
+        .otherwise(0)
+    )
+    return (
+        m.groupBy("filter_id")
+        .agg(
+            F.max(
+                F.struct(
+                    cls.alias("cls"),
+                    F.col("output_index").alias("oi"),
+                    F.col("start").alias("st"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "filter_id",
+            F.col("b.oi").alias("prev_index"),
+            F.col("b.st").alias("prev_start"),
+        )
+        .orderBy("filter_id")
+    )
+
+
+def q_log_nav_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/N4 batch analog (search navigation over m_searchLineMap,
+    OutputData.cpp:643-758): searches annotate the SURVIVING set (never
+    drop rows); for every search at cursor (output_index=5, char=3), the
+    first span at (cursor line, start>=3), else the first span of the
+    next matching line, wrapping to the globally first. Same class +
+    min(struct) shape as operators/navigation.next_match(by_search)."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
+    routed = _routed(spark, sf_dir, with_search=True)
+    idx = with_global_index(routed, "source", ["doc_id"], out="output_index")
+    sp = F.explode("search_spans").alias("sp")
+    m = (
+        idx.select("output_index", sp)
+        .where(F.col("sp.search_id") != -1)
+        .select(
+            F.col("sp.search_id").alias("search_id"),
+            F.col("output_index").cast("long").alias("output_index"),
+            F.col("sp.start").alias("start"),
+        )
+    )
+    cls = (
+        F.when((F.col("output_index") == 5) & (F.col("start") >= 3), 0)
+        .when(F.col("output_index") > 5, 1)
+        .otherwise(2)
+    )
+    return (
+        m.groupBy("search_id")
+        .agg(
+            F.min(
+                F.struct(
+                    cls.alias("cls"),
+                    F.col("output_index").alias("oi"),
+                    F.col("start").alias("st"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "search_id",
+            F.col("b.oi").alias("next_index"),
+            F.col("b.st").alias("next_start"),
+        )
+        .orderBy("search_id")
     )
 
 
@@ -611,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_ingest_tokenize": q_log_ingest_tokenize,
         "log_page_offset": q_log_page_offset,
         "log_nav_next": q_log_nav_next,
+        "log_nav_prev": q_log_nav_prev,
+        "log_nav_search": q_log_nav_search,
         "multimodal_features": q_multimodal_features,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "suppliers_per_region": q_suppliers_per_region,
@@ -1072,6 +1172,68 @@ def oracle_sql() -> dict[str, str]:
               coalesce(MIN(CASE WHEN output_index > 10 THEN output_index END),
                        MIN(output_index)) AS next_index
             FROM hits GROUP BY filter_id ORDER BY filter_id
+        """,
+        # log_nav_prev: reverse walk with wrap — spans reconstructed by
+        # the same all-positions scan as log_nav_matches, pick = highest
+        # (class, line, start) where class 2 = cursor line before char,
+        # 1 = earlier lines, 0 = wrap to globally last.
+        "log_nav_prev": f"""
+            WITH surv AS (SELECT doc_id, source, text FROM documents WHERE {_SQL_SURVIVAL}),
+            idx AS (SELECT doc_id, text, row_number() OVER (ORDER BY source, doc_id) - 1 AS output_index FROM surv),
+            pos AS (SELECT output_index, text, unnest(range(1, length(text)+1)) AS i FROM idx),
+            spans AS (
+              SELECT output_index, 201 AS filter_id, i-1 AS s FROM pos WHERE substr(text, i, 4) = 'scan'
+              UNION ALL
+              SELECT output_index, 202, i-1 FROM pos WHERE lower(substr(text, i, 4)) = 'join'
+                AND (i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[0-9a-zA-Z]'))
+                AND (i + 4 > length(text) OR NOT regexp_matches(substr(text, i+4, 1), '[0-9a-zA-Z]'))
+              UNION ALL
+              SELECT output_index, 203, i-1 FROM pos
+                WHERE lower(substr(text,i,3))='big' OR lower(substr(text,i,5))='batch'
+              UNION ALL
+              SELECT output_index, 204, i-1 FROM pos WHERE substr(text, i, 6) = 'filter'
+                AND (i = 1 OR NOT regexp_matches(substr(text,i-1,1), '[0-9a-zA-Z]'))
+                AND (i + 6 > length(text) OR NOT regexp_matches(substr(text,i+6,1), '[0-9a-zA-Z]'))
+            ),
+            ranked AS (
+              SELECT filter_id, output_index, s,
+                row_number() OVER (
+                  PARTITION BY filter_id
+                  ORDER BY (CASE WHEN output_index = 10 AND s < 4 THEN 2
+                                 WHEN output_index < 10 THEN 1 ELSE 0 END) DESC,
+                           output_index DESC, s DESC
+                ) AS rk
+              FROM spans
+            )
+            SELECT filter_id, output_index AS prev_index, CAST(s AS INT) AS prev_start
+            FROM ranked WHERE rk = 1 ORDER BY filter_id
+        """,
+        # log_nav_search: search spans over the SURVIVING set (searches
+        # never drop rows); pick = lowest (class, line, start) with class
+        # 0 = cursor line at/after char, 1 = later lines, 2 = wrap.
+        "log_nav_search": f"""
+            WITH surv AS (SELECT doc_id, source, text FROM documents WHERE {_SQL_SURVIVAL}),
+            idx AS (SELECT doc_id, text, row_number() OVER (ORDER BY source, doc_id) - 1 AS output_index FROM surv),
+            pos AS (SELECT output_index, text, unnest(range(1, length(text)+1)) AS i FROM idx),
+            spans AS (
+              SELECT output_index, 301 AS search_id, i-1 AS s FROM pos
+                WHERE lower(substr(text, i, 5)) = 'query'
+              UNION ALL
+              SELECT output_index, 302, i-1 FROM pos
+                WHERE lower(substr(text,i,4))='slow' OR lower(substr(text,i,5))='small'
+            ),
+            ranked AS (
+              SELECT search_id, output_index, s,
+                row_number() OVER (
+                  PARTITION BY search_id
+                  ORDER BY (CASE WHEN output_index = 5 AND s >= 3 THEN 0
+                                 WHEN output_index > 5 THEN 1 ELSE 2 END) ASC,
+                           output_index ASC, s ASC
+                ) AS rk
+              FROM spans
+            )
+            SELECT search_id, output_index AS next_index, CAST(s AS INT) AS next_start
+            FROM ranked WHERE rk = 1 ORDER BY search_id
         """,
         "multimodal_features": """
             SELECT doc_id, 'text' AS modality,

@@ -9,6 +9,22 @@ Env:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] width (default 32)
   BENCH_SEQ_ROWS       synthesized sequences rows (default 2_000_000)
+  BENCH_TRIALS         pipeline-leg trials (default 3)
+
+INTERFERENCE CONTROL (round-2 lesson: a single-shot number taken in a
+noisy co-tenant window got recorded as a 6× "regression" that interleaved
+A/B adjudication later disproved). This sandbox is a shared VM, so:
+  - the pipeline leg runs BENCH_TRIALS times, plan rebuilt fresh each
+    trial (re-collecting one DataFrame would reuse registered shuffle
+    outputs and skip the parse stage); the reported number is the MEDIAN
+    of clean trials (all trials if none are clean);
+  - every trial records 1-min loadavg at start and CPU steal% during it;
+    a trial is flagged dirty when load was already > 0.25×CPUS or
+    steal% > 2 — visible contention;
+  - each headline query runs twice (second run excludes first-iteration
+    codegen/broadcast warmup) and reports the min;
+  - raw trials + contention metadata ship in the JSON so a reviewer can
+    re-adjudicate instead of trusting one number.
 
 The sequences table for the parse→route→aggregate leg is synthesized
 deterministically (seed 42) by the FIXTURES.md generator — no external
@@ -27,7 +43,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "2000000"))
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 HEADLINE = [
     "log_route",
@@ -147,17 +189,42 @@ def main():
 
     qs = entry_mod.queries()
     per_query: dict[str, float] = {}
+    query_trials: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        ts = []
+        for _ in range(2):  # 2nd run excludes per-plan codegen warmup
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        query_trials[name] = [round(t, 3) for t in ts]
+        per_query[name] = round(min(ts), 3)
+        total += min(ts)
 
-    rows, pipe_sec = run_pipeline_bench(spark)
+    pipe_trials: list[float] = []
+    trial_meta: list[dict] = []
+    rows = 0
+    for _ in range(TRIALS):
+        load0 = _loadavg1()
+        tot0, st0 = _cpu_stat()
+        rows, dt = run_pipeline_bench(spark)  # plan rebuilt fresh inside
+        tot1, st1 = _cpu_stat()
+        steal_pct = (
+            100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
+        )
+        dirty = load0 > 0.25 * CPUS or steal_pct > 2.0
+        pipe_trials.append(dt)
+        trial_meta.append(
+            {
+                "sec": round(dt, 3),
+                "load1_before": round(load0, 2),
+                "steal_pct": round(steal_pct, 2),
+                "dirty": dirty,
+            }
+        )
+    clean = [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
+    pipe_sec = _median(clean if clean else pipe_trials)
     total += pipe_sec
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,7 +239,13 @@ def main():
                 "pipeline_rows": rows,
                 "pipeline_input_rows": SEQ_ROWS,
                 "pipeline_sec": round(pipe_sec, 3),
+                "pipeline_trials": trial_meta,
+                "pipeline_trials_clean": len(clean),
+                "query_trials": query_trials,
                 "throughput_seq_per_sec": round(SEQ_ROWS / pipe_sec, 1),
+                "throughput_best_seq_per_sec": round(
+                    SEQ_ROWS / min(pipe_trials), 1
+                ),
                 "cpus": CPUS,
             }
         )

@@ -110,6 +110,29 @@ def test_join_tokenizer_matches_literal(spark, log_file):
     assert -1 in list(la)
 
 
+def test_multisplit_file_line_order(spark, tmp_path):
+    """A file read as MULTIPLE scan splits must still number lines in
+    true file order: ordering is (_metadata.file_block_start, _mid), not
+    incidental partition-index order (round-2 ADVICE item)."""
+    lines = [f"line {i:05d} " + "x" * 50 for i in range(2000)]
+    p = tmp_path / "big.log"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        nsplits = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert nsplits > 1, "fixture must actually split for this test"
+        got = [
+            r["text"]
+            for r in read_log_lines(spark, str(p), source="big")
+            .orderBy("line_no")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == lines
+
+
 def test_ingest_pipeline_matches_oracle_on_raw_lines(spark, log_file):
     """Ingested text log → LogPipeline → routed set equals the pure-Python
     oracle run over the scrubbed raw lines."""

@@ -167,6 +167,92 @@ def test_word_locality_gate():
         assert not pattern_word_local(pat, is_re), pat
 
 
+# --------------------------------------------- gate property (random ASTs)
+#
+# The gate's contract: ANY pattern it admits is word-local — the fast
+# path equals the generic whole-line extractor on space-containing
+# inputs. Generating random regex ASTs (not hand-picked cases) means a
+# future sre node kind the walk doesn't know fails CLOSED with evidence:
+# either the gate rejects it (fine, speed-only loss) or this property
+# finds the divergence.
+
+_GATE_ATOMS = [
+    "a", "b", "A", "1", "_", " ", r"\ ", ".", r"\d", r"\D", r"\w", r"\W",
+    r"\s", r"\S", r"\b", r"\B", "^", "$", r"\x20", r"\x21",
+    "[ab]", "[^a]", "[a-c]", r"[\x1f-\x21]", "[ a]", "[^ ]", "[a1_]",
+    r"[\t-z]", r"[^\S]",
+]
+_GATE_QUANTS = ["", "*", "+", "?", "{1,2}", "*?", "+?"]
+
+
+def _regex_ast(depth: int):
+    atom = st.sampled_from(_GATE_ATOMS)
+    if depth <= 0:
+        return atom
+    sub = _regex_ast(depth - 1)
+    piece = st.builds(
+        lambda e, q: e + q, st.one_of(atom, sub), st.sampled_from(_GATE_QUANTS)
+    )
+    return st.one_of(
+        atom,
+        st.builds(lambda a, b: a + b, piece, piece),                  # concat
+        st.builds(lambda a, b: f"(?:{a}|{b})", sub, sub),             # alt
+        st.builds(lambda e: f"({e})", sub),                           # group
+        st.builds(lambda e: f"(?={e})", sub),                         # lookahead
+        st.builds(lambda e: f"(?!{e})", sub),                         # neg look
+    )
+
+
+def _finditer_spans(creg, text, off=0):
+    return [(m.start() + off, m.end() + off) for m in creg.finditer(text)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(pat=_regex_ast(2), data=st.data())
+def test_gate_admitted_random_asts_are_word_local(pat, data):
+    import re
+
+    try:
+        creg = re.compile(pat)
+    except re.error:
+        return
+    if not pattern_word_local(pat, True):
+        return  # conservative reject: generic path handles it, only speed lost
+    vocab = data.draw(
+        st.lists(
+            st.text(alphabet="abA1_.", min_size=1, max_size=5),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        )
+    )
+    ids = data.draw(
+        st.lists(st.integers(0, len(vocab) - 1), min_size=0, max_size=8)
+    )
+    line = " ".join(vocab[i] for i in ids)
+    # (1) raw re locality: matches on the line == shifted per-word matches
+    per_word, off = [], 0
+    for i in ids:
+        per_word += _finditer_spans(creg, vocab[i], off)
+        off += len(vocab[i]) + 1
+    assert _finditer_spans(creg, line) == per_word, pat
+    # (2) full engine equality: token-table fast path == generic extractor
+    filters = [
+        FilterSpec(201, 0, pat, caseSensitive=True, wholeWord=False, regex=True)
+    ]
+    wlen, has_claim, ff, sf, cf = build_word_tables(
+        vocab, filters, [], want_search=True, want_combined=True
+    )
+    got = spans_for_ids(
+        np.asarray(ids, dtype=np.int64), wlen, has_claim, ff, sf, cf,
+        want_search=True, want_combined=True,
+    )
+    ftab = _matcher_table(filters)
+    stab = _matcher_table([])
+    want = extract_line_spans(line, ftab, stab, True)
+    assert got == want, pat
+
+
 def test_pipeline_paths_agree(spark, tmp_path):
     """Spark-level: token-table plan == generic fused plan on fixture data."""
     from txtlogparser_spark.plans.pipeline import LogPipeline

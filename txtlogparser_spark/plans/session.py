@@ -121,12 +121,14 @@ class WorkspaceSession:
 
     def update_workspace(self, ws: WorkspaceConfig) -> None:
         """Replace a workspace config (filter mutation); the parsed cache
-        is untouched — only the routed plan changes. Saves when the
-        mutated workspace is active (reference save-on-mutation,
-        WorkspaceManager.cpp:25-76)."""
+        is untouched — only the routed plan changes. Saves the store on
+        ANY workspace mutation (reference save-on-mutation,
+        WorkspaceManager.cpp:25-76 — the store holds every workspace, so
+        an inactive-workspace edit must persist too or it is lost if the
+        process exits before the next switch)."""
         self.workspaces[ws.id] = ws.validate()
         self._pipelines.pop(ws.id, None)
-        if self.store_path and ws.id == self.active_id:
+        if self.store_path:
             self.save()
 
     def save(self) -> None:

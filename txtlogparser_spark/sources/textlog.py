@@ -12,10 +12,12 @@ vocabulary covers the corpus (pinned by tests/test_textlog_ingest.py).
 Scale shapes (everything JVM-side; no Python in the hot path):
 
 - scrub: two regexp_replace calls, codegen.
-- line numbering: per-file partitioned window over
-  monotonically_increasing_id() — ids increase within a partition and
-  partition ids follow file-split order, so ordering by id within a file
-  reproduces file order without a global window.
+- line numbering: per-file partitioned window ordered by the split's
+  byte offset (_metadata.file_block_start) then
+  monotonically_increasing_id() — ids are monotone within a split and
+  splits sort by true offset, so file order is reproduced without a
+  global window and without assuming anything about partition-index
+  assignment.
 - tokenize, small vocab (≤ `MAP_LITERAL_MAX` entries): a literal
   map<string,int> lookup inside transform() — whole-stage codegen, zero
   shuffle, zero UDF.
@@ -60,9 +62,16 @@ def read_log_lines(
     # '\r', but the reference reads '\n'-delimited lines and scrubs
     # interior '\r' (OutputData.cpp:78-90) — which only exists if the
     # reader leaves it in the line
+    # Line order within a multi-split file: _mid (monotonically
+    # increasing id) is monotone WITHIN a split, and splits are ordered
+    # by their actual byte offset via the hidden _metadata column's
+    # file_block_start — not by partition index, which Spark assigns in
+    # size-descending packing order and only incidentally preserves
+    # offset order (round-2 ADVICE: don't rely on that).
     raw = spark.read.option("lineSep", "\n").text(path).select(
         F.col("value").alias("_raw"),
-        F.input_file_name().alias("_file"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_blk"),
         F.monotonically_increasing_id().alias("_mid"),
     )
     src = (
@@ -72,7 +81,7 @@ def read_log_lines(
             F.element_at(F.split(F.col("_file"), "/"), -1), r"\.[^.]*$", ""
         )
     )
-    w = Window.partitionBy("_file").orderBy("_mid")
+    w = Window.partitionBy("_file").orderBy("_blk", "_mid")
     return (
         raw.withColumn("source", src)
         .withColumn("line_no", F.row_number().over(w) - 1)
