@@ -29,6 +29,8 @@ AUDITED = [
     "log_page_offset",
     "log_nav_matches",
     "log_nav_next",
+    "log_nav_prev",
+    "log_nav_search",
     "tpch_pricing_summary",
     "join_orders_per_nation",
     "window_top3_orders",
