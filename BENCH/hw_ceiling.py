@@ -64,25 +64,45 @@ def worker(args):
     return rows / (time.perf_counter() - t0)
 
 
+def _cpu_stat():
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def main():
     sys.path.insert(0, REPO)
     import bench
 
     data = os.path.join(bench.ensure_bench_sequences(), "sequences")
     out = {}
+    tot0, st0 = _cpu_stat()
     for P in (8, 32):
         with mp.Pool(P) as pool:
             rates = pool.map(worker, [(2, i, data) for i in range(P)])
         out[P] = round(sum(rates), 1)
         print(f"P={P}: aggregate {out[P]:,.0f} rows/s")
+    tot1, st1 = _cpu_stat()
+    steal_pct = 100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
     ceiling = (out[32] / out[8]) / 4
     result = {
         "metric": "same-box compute scaling ceiling (share-nothing pinned processes)",
         "throughput_p8": out[8],
         "throughput_p32": out[32],
         "ceiling_efficiency": round(ceiling, 3),
+        "steal_pct": round(steal_pct, 2),
     }
     print(json.dumps(result))
+    if steal_pct > 2.0:
+        # a ceiling taken under co-tenant steal UNDERSTATES the box (the
+        # 32-process config eats the contention disproportionately) and
+        # would inflate the normalized gate — refuse to record it
+        print(
+            f"NOT recording hw_ceiling.json: steal {steal_pct:.1f}% > 2% "
+            "(co-tenant contention window); re-run when quiet",
+            file=sys.stderr,
+        )
+        return
     with open(os.path.join(REPO, "BENCH", "hw_ceiling.json"), "w") as fh:
         json.dump(result, fh, indent=2)
 
