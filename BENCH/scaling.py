@@ -95,8 +95,15 @@ one_pass_metrics_flat(
     wpipe.run(wseqs, with_text=False, assembled=False)
 ).collect()
 
+def _cpu_stat():
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
 times = []
+steals = []
 for t in range({trials}):
+    tot0, st0 = _cpu_stat()
     t0 = time.perf_counter()
     # Build the plan FRESH each trial: re-collecting one DataFrame object
     # lets Spark reuse the registered shuffle map outputs of the previous
@@ -108,8 +115,10 @@ for t in range({trials}):
     m = {{r["filter_id"]: r for r in one_pass_metrics_flat(routed).collect()}}
     n = m[ALL_ROWS_SENTINEL]["line_count"]
     times.append(time.perf_counter() - t0)
+    tot1, st1 = _cpu_stat()
+    steals.append(round(100.0 * (st1 - st0) / (tot1 - tot0), 2) if tot1 > tot0 else 0.0)
 print(json.dumps({{"execs": execs, "cores": cores, "rows_in": {rows},
-                   "rows_routed": n, "times": times}}))
+                   "rows_routed": n, "times": times, "steals": steals}}))
 spark.stop()
 """
 
@@ -201,18 +210,26 @@ def main():
     # the per-pair efficiency median is the protocol metric.
     times = {1: [], 4: []}
     pair_eff = []
+    pair_steals = []
+    pair_clean = []
     rows_routed = None
     for k in range(args.trials):
-        tN = run_config(1, data, args.rows, 1, warm_data=warm)["times"][0]
+        rN = run_config(1, data, args.rows, 1, warm_data=warm)
+        tN = rN["times"][0]
         r4 = run_config(4, data, args.rows, 1, warm_data=warm)
         t4 = r4["times"][0]
         rows_routed = r4["rows_routed"]
+        stealN = rN.get("steals", [0.0])[0]
+        steal4 = r4.get("steals", [0.0])[0]
         times[1].append(tN)
         times[4].append(t4)
         pair_eff.append((tN / t4) / 4)
+        pair_steals.append((stealN, steal4))
+        pair_clean.append(stealN <= 2.0 and steal4 <= 2.0)
         print(
             f"pair {k + 1}/{args.trials}: N={tN:.1f}s 4N={t4:.1f}s "
-            f"eff={pair_eff[-1]:.3f}",
+            f"eff={pair_eff[-1]:.3f} steal=({stealN:.1f}%,{steal4:.1f}%)"
+            f"{'' if pair_clean[-1] else ' DIRTY'}",
             file=sys.stderr,
         )
 
@@ -229,7 +246,13 @@ def main():
             "throughput_best": round(args.rows / best, 1),
         }
 
-    eff = statistics.median(pair_eff)
+    # protocol metric: median over CLEAN pairs (both trials ≤2% co-tenant
+    # steal) when ≥2 exist; a pair where either side ran under visible
+    # steal measures the co-tenant, not the engine. All pairs + their
+    # steal readings are recorded either way.
+    clean_eff = [e for e, c in zip(pair_eff, pair_clean) if c]
+    eff_all = statistics.median(pair_eff)
+    eff = statistics.median(clean_eff) if len(clean_eff) >= 2 else eff_all
     eff_best = (results[4]["throughput_best"] / results[1]["throughput_best"]) / 4
     ceiling = None
     ceiling_path = os.path.join(REPO, "BENCH", "hw_ceiling.json")
@@ -241,6 +264,9 @@ def main():
         "rows": args.rows,
         "trials": args.trials,
         "pair_efficiencies": [round(e, 3) for e in pair_eff],
+        "pair_steal_pct": [[a, b] for a, b in pair_steals],
+        "pairs_clean": sum(pair_clean),
+        "efficiency_all_pairs": round(eff_all, 3),
         "t_n_median_sec": results[1]["median_sec"],
         "t_4n_median_sec": results[4]["median_sec"],
         "throughput_n": results[1]["throughput"],
@@ -296,10 +322,16 @@ criterion, not an excuse applied after the fact):
 | ceiling-normalized (primary, transfers to separate-node N vs 4N) | {norm_txt} | ≥ 0.9 | {"PASS" if summary.get('acceptance_normalized') else "FAIL"} |
 | raw median paired efficiency | {summary['efficiency']} | ≥ 0.8 | {"PASS" if summary.get('acceptance_raw') else "FAIL"} |
 
-Scaling efficiency = median over pairs of (tN/t4N)/4 =
-**{summary['efficiency']}**. Best-of-trials efficiency
+Scaling efficiency = median over CLEAN pairs (both sides ≤2% co-tenant
+CPU steal; {summary['pairs_clean']}/{args.trials} clean this run) of
+(tN/t4N)/4 = **{summary['efficiency']}** (all-pairs median:
+{summary['efficiency_all_pairs']}). Best-of-trials efficiency
 (capability under shared-VM interference): {summary['efficiency_best_trial']}.
-Per-pair efficiencies: {summary['pair_efficiencies']}.
+Per-pair efficiencies: {summary['pair_efficiencies']}, per-pair steal %
+(N, 4N): {summary['pair_steal_pct']}. A pair where either side ran under
+visible steal measures the co-tenant, not the engine — such pairs are
+recorded but excluded from the protocol median when ≥2 clean pairs
+exist.
 
 Rows routed (survival set): {summary['rows_routed']:,} of {args.rows:,}.
 

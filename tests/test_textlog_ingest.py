@@ -110,6 +110,27 @@ def test_join_tokenizer_matches_literal(spark, log_file):
     assert -1 in list(la)
 
 
+def test_vocab_df_ids_match_list_and_plan_is_distributed(spark, log_file):
+    """build_vocab_df must (a) reproduce build_vocab's exact word→id map
+    and (b) contain no single-partition exchange — the scale contract
+    that replaced the round-2 driver-collect vocabulary."""
+    from txtlogparser_spark.sources.textlog import build_vocab_df
+
+    lines = read_log_lines(spark, log_file, source="app")
+    vdf = build_vocab_df(lines)
+    got = {r["word"]: r["id"] for r in vdf.collect()}
+    # independent reference: pure-Python sorted distinct words (code-point
+    # order == Spark/DuckDB binary UTF-8 order), NOT build_vocab, which
+    # is now itself a collect of build_vocab_df
+    words = set()
+    for r in lines.collect():
+        words.update(r["text"].split(" "))
+    want = {w: i for i, w in enumerate(sorted(words))}
+    assert got == want
+    plan = vdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_multisplit_file_line_order(spark, tmp_path):
     """A file read as MULTIPLE scan splits must still number lines in
     true file order: ordering is (_metadata.file_block_start, _mid), not

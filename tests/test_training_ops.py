@@ -59,6 +59,38 @@ class TestDedup:
         vp = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
         assert (0, 3) in vp
 
+    def test_jaccard_candidate_mode_equals_restricted_exhaustive(self, docs):
+        """The O(candidates) set-join verify (round-3 rewrite) must be
+        value-identical to exhaustive-mode output restricted to the
+        candidate pairs, and its plan must contain NO shingle-equality
+        join (the round-2 all-pairs regression)."""
+        from txtlogparser_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            shingle_table,
+        )
+
+        cands = lsh_candidate_pairs(
+            minhash_signatures(shingle_table(docs), num_hashes=16),
+            num_hashes=16,
+            band_size=4,
+        )
+        cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+        got = ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands)
+        got_m = {(r["doc_a"], r["doc_b"]): r["jacc"] for r in got.collect()}
+        exh = {
+            (r["doc_a"], r["doc_b"]): r["jacc"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert got_m == {p: j for p, j in exh.items() if p in cand_set}
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Join" in line and "shingle" in line:
+                raise AssertionError(
+                    f"shingle-equality join found in candidate-mode plan: {line.strip()[:160]}"
+                )
+
     def test_simhash_buckets(self, spark):
         # SimHash needs enough words for stable bit majorities: 60-word
         # texts differing in one word → tiny Hamming distance; unrelated
