@@ -145,12 +145,31 @@ def run_config(
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not lines:
-        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise RuntimeError(f"trial subprocess produced no result (execs={execs})")
-    return json.loads(lines[-1])
+    # local-cluster startup occasionally hangs (executors never register;
+    # observed: subprocess idle 18 min with 5s CPU). Bound each attempt
+    # well above the longest legitimate trial (~7 min incl. startup +
+    # full-size warmup) and retry in a fresh cluster instead of letting
+    # one hang consume the whole run.
+    last_err = ""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1200
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"trial subprocess timed out (execs={execs}, attempt {attempt + 1}/3); retrying in a fresh cluster\n"
+            )
+            continue
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = out.stdout[-2000:] + "\n" + out.stderr[-4000:]
+        sys.stderr.write(
+            f"trial subprocess produced no result (execs={execs}, attempt {attempt + 1}/3)\n"
+        )
+    sys.stderr.write(last_err + "\n")
+    raise RuntimeError(f"trial subprocess failed 3 attempts (execs={execs})")
 
 
 def _ceiling_md(summary: dict) -> str:
@@ -214,9 +233,15 @@ def main():
     pair_clean = []
     rows_routed = None
     for k in range(args.trials):
-        rN = run_config(1, data, args.rows, 1, warm_data=warm)
+        try:
+            rN = run_config(1, data, args.rows, 1, warm_data=warm)
+            r4 = run_config(4, data, args.rows, 1, warm_data=warm)
+        except RuntimeError as e:
+            # drop the pair, keep the run: a lost pair is recoverable, a
+            # crashed 45-minute protocol run is not
+            print(f"pair {k + 1}/{args.trials}: DROPPED ({e})", file=sys.stderr)
+            continue
         tN = rN["times"][0]
-        r4 = run_config(4, data, args.rows, 1, warm_data=warm)
         t4 = r4["times"][0]
         rows_routed = r4["rows_routed"]
         stealN = rN.get("steals", [0.0])[0]
@@ -233,6 +258,8 @@ def main():
             file=sys.stderr,
         )
 
+    if not pair_eff:
+        raise RuntimeError("no pairs completed; nothing to record")
     results = {}
     for execs in (1, 4):
         med = statistics.median(times[execs])
