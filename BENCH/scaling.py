@@ -206,6 +206,8 @@ def main():
     # amortize away, and shared-box timing noise averages out
     ap.add_argument("--rows", type=int, default=32_000_000)
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--min-clean-pairs", type=int, default=3)
+    ap.add_argument("--max-trials", type=int, default=10)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -232,7 +234,17 @@ def main():
     pair_steals = []
     pair_clean = []
     rows_routed = None
-    for k in range(args.trials):
+    # keep sampling past --trials until enough CLEAN pairs exist (bounded
+    # by --max-trials): a noisy co-tenant window can dirty most of a
+    # fixed-length run, and a median over dirty pairs measures the
+    # co-tenant, not the engine
+    k = -1
+    while True:
+        k += 1
+        if k >= args.trials and (
+            sum(pair_clean) >= args.min_clean_pairs or k >= args.max_trials
+        ):
+            break
         try:
             rN = run_config(1, data, args.rows, 1, warm_data=warm)
             r4 = run_config(4, data, args.rows, 1, warm_data=warm)

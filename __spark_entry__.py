@@ -283,6 +283,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT — the step after pair verification in
+    a production dedup pass ("keep one doc per cluster"): minhash-LSH
+    candidates → exact Jaccard verify restricted to candidates → connected
+    components over the verified-pair graph via iterative min-label
+    propagation (operators/dedup.py::duplicate_components — per round ONE
+    doc-id equi-join + ONE groupBy-min, no driver-side graph state,
+    lineage truncated by localCheckpoint; rounds = graph diameter, tiny
+    for near-dup cliques/chains). Output (doc_id, group_rep, group_size)
+    for every doc in a verified pair; group_rep = smallest reachable doc
+    id (deterministic). The DuckDB oracle replays the identical chain
+    with a WITH RECURSIVE transitive closure."""
+    from txtlogparser_spark.operators.dedup import (
+        duplicate_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    sh = shingle_table(d)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=16), num_hashes=16, band_size=4
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, candidates=cands).select(
+        "doc_a", "doc_b"
+    )
+    comp = duplicate_components(pairs)
+    sizes = comp.groupBy("group_rep").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        comp.join(sizes, "group_rep")
+        .select("doc_id", "group_rep", "group_size")
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (the exact
     baseline; LSH-bucketed variant is the scale path). Uses the
@@ -314,6 +353,19 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-vocabulary report: top-3 TF-IDF terms per language
+    (functions/text.py::tfidf_top_terms). Pure Catalyst: two map-side-
+    combined groupBys, a broadcast doc-freq dim, a broadcast 1-row corpus
+    count (no eager driver action), and a per-group window — never a
+    global sort or single partition. idf = ln((N+1)/(df+1)), score
+    rounded to 6 for cross-engine hashing, ties break on word ASC."""
+    from txtlogparser_spark.functions.text import tfidf_top_terms
+
+    d = _docs(spark, sf_dir)
+    return tfidf_top_terms(d, "text", "lang", k=3).orderBy("lang", "rank")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,8 +744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lang_stats": q_lang_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality": q_text_quality,
         "token_count_regex": q_token_count_regex,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -889,6 +943,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        "dedup_groups": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT p.doc_a, p.doc_b FROM pairs p
+              JOIN cnt ca ON ca.doc_id = p.doc_a
+              JOIN cnt cb ON cb.doc_id = p.doc_b
+              WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS node, doc_b AS nbr FROM dup
+              UNION SELECT doc_b, doc_a FROM dup
+            ),
+            reach AS (
+              SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.nbr
+            ),
+            comp AS (SELECT node AS doc_id, MIN(lab) AS group_rep FROM reach GROUP BY node),
+            sizes AS (SELECT group_rep, COUNT(*) AS group_size FROM comp GROUP BY group_rep)
+            SELECT c.doc_id AS doc_id, c.group_rep AS group_rep,
+              CAST(s.group_size AS BIGINT) AS group_size
+            FROM comp c JOIN sizes s USING (group_rep) ORDER BY doc_id
+        """,
         "ann_cosine_topk": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
@@ -907,6 +1021,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "tfidf_top_terms": """
+            WITH words AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+            ),
+            tf AS (SELECT lang, word, COUNT(*) AS tf FROM words GROUP BY lang, word),
+            dfreq AS (
+              SELECT word, COUNT(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+              ) GROUP BY word
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.lang, tf.word, tf.tf,
+                ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+              FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+            )
+            SELECT lang, rank, word, CAST(tf AS BIGINT) AS tf, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY score DESC, word ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3 ORDER BY lang, rank
         """,
         "text_quality": """
             SELECT doc_id,

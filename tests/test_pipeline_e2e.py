@@ -241,3 +241,100 @@ class TestFusedPath:
             r["doc_id"] for r in seqs.where(pre).select("doc_id").collect()
         }
         assert survivors <= prefiltered
+
+
+class TestEcmaDialectE2E:
+    """WorkspaceConfig.regex_dialect='ecmascript' threads the reference's
+    std::regex emulation (functions/regex_dialect.py) through BOTH the
+    Spark extractors and the pure-Python oracle — pinned here end-to-end.
+
+    The workspace stacks a lookbehind filter (row 0) over a plain regex
+    filter (row 1): Python claims via the lookbehind; ECMAScript rejects
+    it at compile (regex_error → claims nothing, FilterData.cpp:234-237)
+    so the plain filter claims instead — different span decompositions
+    and counts, same surviving rows. Parity must hold per dialect."""
+
+    def _ws(self, dialect: str) -> WorkspaceConfig:
+        return WorkspaceConfig(
+            filters=[
+                FilterSpec(401, 0, r"(?<=code=)\d+", regex=True),
+                FilterSpec(402, 1, r"code=\d+", regex=True),
+            ],
+            regex_dialect=dialect,
+        )
+
+    def _lines(self):
+        vocab = build_vocab()
+        seq = generate_sequences(SPEC).to_pylist()
+        info = {r["source"]: r for r in generate_source_info(SPEC).to_pylist()}
+        return [
+            LineRec(
+                doc_id=r["doc_id"],
+                source=r["source"],
+                source_rank=info[r["source"]]["source_rank"],
+                line_no=int(r["doc_id"].rsplit("-", 1)[1]),
+                text=" ".join(vocab[t] for t in r["tokens"]),
+                tokens=tuple(r["tokens"]),
+            )
+            for r in seq
+        ]
+
+    @pytest.mark.parametrize("dialect", ["python", "ecmascript"])
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_spark_matches_oracle_per_dialect(
+        self, spark, fixture_dir, dialect, fused
+    ):
+        ws = self._ws(dialect)
+        oracle = run_pipeline(self._lines(), ws)
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        pipe = LogPipeline(
+            spark, ws, build_vocab(), source_info=info,
+            invalid_regex="match_nothing",
+        )
+        seqs = pipe.load_sequences(f"{fixture_dir}/sequences")
+        routed = pipe.run(seqs, fused=fused, with_search=False)
+        got = {
+            r["doc_id"]: spans_tuples(r["filter_spans"])
+            for r in routed.select("doc_id", "filter_spans").collect()
+        }
+        want = {
+            ol.rec.doc_id: [
+                (s.start, s.end, s.filter_id, s.search_id)
+                for s in ol.filter_spans
+            ]
+            for ol in oracle.lines
+        }
+        assert got == want
+        assert len(got) > 0
+
+    def test_dialects_actually_diverge(self):
+        # guard against vacuity: the lookbehind claims under Python and
+        # claims NOTHING under the ECMAScript emulation
+        py = run_pipeline(self._lines(), self._ws("python"))
+        ec = run_pipeline(self._lines(), self._ws("ecmascript"))
+        assert py.filter_match_count.get(401, 0) > 0 and py.filter_match_count.get(402, 0) == 0
+        assert ec.filter_match_count.get(401, 0) == 0 and ec.filter_match_count.get(402, 0) > 0
+        # survival is by OR — the same rows route either way
+        assert [ol.rec.doc_id for ol in py.lines] == [
+            ol.rec.doc_id for ol in ec.lines
+        ]
+
+    def test_strict_load_rejects_vs_compat_admits(self, spark):
+        ws = self._ws("ecmascript")
+        from txtlogparser_spark.config import ConfigError
+
+        with pytest.raises(ConfigError):
+            LogPipeline(spark, ws, build_vocab())
+        LogPipeline(
+            spark, ws, build_vocab(), invalid_regex="match_nothing"
+        )  # loads
+
+    def test_roundtrip_and_digest_stability(self):
+        ws = self._ws("ecmascript")
+        d = ws.to_dict()
+        assert d["regex_dialect"] == "ecmascript"
+        back = WorkspaceConfig.from_dict(d, invalid_regex="match_nothing")
+        assert back.regex_dialect == "ecmascript"
+        # default dialect stays OUT of the dict: digests of existing
+        # persisted workspaces (and resume manifests) must not change
+        assert "regex_dialect" not in self._ws("python").to_dict()

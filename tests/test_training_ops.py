@@ -131,6 +131,69 @@ class TestDedup:
         assert not any(2 in p for p in got)
 
 
+class TestComponents:
+    def test_duplicate_components_chain_clique_isolated(self, spark):
+        # chain a-b-c (via transitive pairs), clique p-q-r, pair x-y:
+        # rep = smallest reachable id, independent of pair orientation
+        from txtlogparser_spark.operators.dedup import duplicate_components
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("p", "q"), ("p", "r"), ("q", "r"),
+             ("x", "y")],
+            ["doc_a", "doc_b"],
+        )
+        got = {
+            r["doc_id"]: r["group_rep"]
+            for r in duplicate_components(pairs).collect()
+        }
+        assert got == {
+            "a": "a", "b": "a", "c": "a",
+            "p": "p", "q": "p", "r": "p",
+            "x": "x", "y": "x",
+        }
+
+    def test_duplicate_components_long_path_converges(self, spark):
+        # a 12-node path needs ~diameter rounds of label propagation —
+        # exercises the iteration + convergence-stop logic (and the
+        # localCheckpoint lineage truncation at checkpoint_every=3)
+        from txtlogparser_spark.operators.dedup import duplicate_components
+
+        n = 12
+        ids = [f"n{i:02d}" for i in range(n)]
+        pairs = spark.createDataFrame(
+            [(ids[i], ids[i + 1]) for i in range(n - 1)], ["doc_a", "doc_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_rep"]
+            for r in duplicate_components(pairs, checkpoint_every=3).collect()
+        }
+        assert got == {i: ids[0] for i in ids}
+
+    def test_dedup_groups_on_fixture_docs(self, docs):
+        # end-to-end chain over the module fixture: docs 0/1/3 form one
+        # near-dup cluster (exact dup + jaccard>0.5 near-dup)
+        from txtlogparser_spark.operators.dedup import (
+            duplicate_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            shingle_table,
+        )
+
+        sh = shingle_table(docs)
+        cands = lsh_candidate_pairs(
+            minhash_signatures(sh, num_hashes=16), num_hashes=16, band_size=4
+        )
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=0.5, candidates=cands
+        ).select("doc_a", "doc_b")
+        got = {
+            r["doc_id"]: r["group_rep"]
+            for r in duplicate_components(pairs).collect()
+        }
+        assert got == {0: 0, 1: 0, 3: 0}
+
+
 class TestSimilarity:
     def test_brute_force_exact(self, spark):
         from txtlogparser_spark.operators.similarity import brute_force_topk, as_double_vec
@@ -272,6 +335,31 @@ class TestTextFunctions:
         assert got[0] == "en"
         assert got[4] == "es"
         assert got[5] == "und"
+
+    def test_tfidf_top_terms(self, spark):
+        import math
+
+        from txtlogparser_spark.functions.text import tfidf_top_terms
+
+        d = spark.createDataFrame(
+            [
+                (0, "alpha alpha beta", "g1"),
+                (1, "alpha gamma", "g1"),
+                (2, "beta beta delta", "g2"),
+                (3, "alpha beta", "g2"),
+            ],
+            ["doc_id", "text", "grp"],
+        )
+        out = tfidf_top_terms(d, "text", "grp", k=2).collect()
+        got = {(r["grp"], r["rank"]): (r["word"], r["tf"], r["score"]) for r in out}
+        # hand-computed: N=4; df(alpha)=3, df(beta)=3, df(gamma)=1, df(delta)=1
+        idf_rare = math.log(5 / 2)  # gamma/delta
+        assert got[("g1", 1)][0] == "gamma"
+        assert got[("g1", 1)][2] == round(1 * idf_rare, 6)
+        assert got[("g2", 1)][0] == "delta"
+        # g1 rank2: alpha tf=3 score=3*ln(5/4)=0.669431 beats nothing else
+        assert got[("g1", 2)][0] == "alpha"
+        assert got[("g1", 2)][1] == 3
 
 
 class TestMultimodal:

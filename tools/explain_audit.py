@@ -43,6 +43,8 @@ AUDITED = [
     "user_session_windows",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
+    "dedup_groups",
+    "tfidf_top_terms",
 ]
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")

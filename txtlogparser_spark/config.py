@@ -84,24 +84,39 @@ class MatcherSpec:
     enabled: bool = True
     color: str = ""
 
-    def validate(self, invalid_regex: str = "reject") -> None:
+    def validate(
+        self, invalid_regex: str = "reject", dialect: str = "python"
+    ) -> None:
         """invalid_regex: 'reject' (default — fail fast at config load) or
         'match_nothing' (reference compatibility: FilterData.cpp:234-237
         logs the regex_error at match time and emits no spans, so an
         invalid-regex filter claims nothing and, filter-first, drops every
-        row it alone would route)."""
+        row it alone would route).
+
+        dialect: 'python' (default) validates against Python `re`;
+        'ecmascript' validates against the reference's std::regex
+        ECMAScript grammar (functions/regex_dialect.py), so a pattern the
+        reference would reject is rejected here too even if Python
+        accepts it (e.g. lookbehind)."""
         if not self.pattern:
             raise ConfigError(f"matcher id={self.id}: empty pattern")
         if self.regex and invalid_regex == "reject":
             try:
-                re.compile(self.pattern)
-            except re.error as e:
+                if dialect == "ecmascript":
+                    from txtlogparser_spark.functions.regex_dialect import (
+                        compile_ecma,
+                    )
+
+                    compile_ecma(self.pattern, ignore_case=not self.caseSensitive)
+                else:
+                    re.compile(self.pattern)
+            except (re.error, ValueError) as e:
                 raise ConfigError(
                     f"matcher id={self.id}: invalid regex {self.pattern!r}: {e}"
                 ) from e
 
-    def compiled(self) -> re.Pattern | None:
-        """Python `re` pattern for regex mode, reproducing the reference's
+    def compiled(self, dialect: str = "python") -> re.Pattern | None:
+        """Compiled pattern for regex mode, reproducing the reference's
         flag handling (FilterData.cpp:161-238): icase when not caseSensitive,
         wholeWord wraps the pattern in \\b...\\b.
 
@@ -110,16 +125,26 @@ class MatcherSpec:
         span the reference's catch-and-log behavior (FilterData.cpp:234-237:
         no sublines emitted).
 
-        Dialect note: the reference uses ECMAScript std::regex; we standardize
-        on Python `re`. Divergences (e.g. ECMAScript lacks lookbehind pre-C++23,
-        differing \\b corner cases) are documented, not emulated — the delta
-        corpus lives in tests/test_regex_dialect.py.
+        dialect='python' (default): the engine's standard Python `re`
+        semantics; the ECMAScript deltas are documented in
+        tests/test_regex_dialect.py. dialect='ecmascript': emulate the
+        reference's std::regex ECMAScript grammar via
+        functions/regex_dialect.py — constructs std::regex rejects
+        compile to '(?!)' (the reference's regex_error catch), and
+        \\w/\\b/$/empty-class semantics are rewritten to match.
         """
         if not self.regex:
             return None
         pat = self.pattern
         if self.wholeWord:
             pat = r"\b" + pat + r"\b"  # FilterData.cpp:167
+        if dialect == "ecmascript":
+            from txtlogparser_spark.functions.regex_dialect import compile_ecma
+
+            try:
+                return compile_ecma(pat, ignore_case=not self.caseSensitive)
+            except (re.error, ValueError):
+                return re.compile(r"(?!)")  # regex_error → no spans
         flags = 0 if self.caseSensitive else re.IGNORECASE
         try:
             return re.compile(pat, flags)
@@ -159,15 +184,23 @@ class WorkspaceConfig:
     filters: list[FilterSpec] = field(default_factory=list)
     searches: list[SearchSpec] = field(default_factory=list)
     sources: list[SourceSpec] = field(default_factory=list)
+    # 'python' (engine standard) or 'ecmascript' (reference std::regex
+    # emulation, functions/regex_dialect.py). Applies to every regex
+    # matcher in the workspace — the span extractors AND the pure-Python
+    # oracle both read it from here, so parity tests exercise the same
+    # dialect on both sides.
+    regex_dialect: str = "python"
 
     def validate(
         self, invalid_regex: str = "reject", require_valid_colors: bool = False
     ) -> "WorkspaceConfig":
         if invalid_regex not in ("reject", "match_nothing"):
             raise ConfigError(f"invalid_regex mode {invalid_regex!r}")
+        if self.regex_dialect not in ("python", "ecmascript"):
+            raise ConfigError(f"regex_dialect {self.regex_dialect!r}")
         seen: set[int] = set()
         for m in [*self.filters, *self.searches]:
-            m.validate(invalid_regex=invalid_regex)
+            m.validate(invalid_regex=invalid_regex, dialect=self.regex_dialect)
             if m.id in seen:
                 raise ConfigError(f"duplicate matcher id {m.id}")
             seen.add(m.id)
@@ -208,16 +241,22 @@ class WorkspaceConfig:
                 )
                 for i, s in enumerate(d.get("sources", []))
             ],
+            regex_dialect=d.get("regex_dialect", "python"),
         ).validate(invalid_regex=invalid_regex)
 
     def to_dict(self) -> dict:
-        return {
+        out = {
             "id": self.id,
             "name": self.name,
             "filters": [asdict(f) for f in self.filters],
             "searches": [asdict(s) for s in self.searches],
             "sources": [asdict(s) for s in self.sources],
         }
+        # non-default only: keeps digests of existing persisted
+        # workspaces (and their resume manifests) stable
+        if self.regex_dialect != "python":
+            out["regex_dialect"] = self.regex_dialect
+        return out
 
     def digest(self) -> str:
         """Stable content digest of the config — keyed into run manifests

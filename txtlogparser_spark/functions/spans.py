@@ -49,10 +49,17 @@ SPAN_TYPE = StructType(
 )
 
 
-def _matcher_table(specs: Sequence[MatcherSpec]) -> List[tuple]:
-    """Pre-compile matchers into plain tuples for the UDF hot loop."""
+def _matcher_table(
+    specs: Sequence[MatcherSpec], dialect: str = "python"
+) -> List[tuple]:
+    """Pre-compile matchers into plain tuples for the UDF hot loop.
+
+    dialect: 'python' (engine default) or 'ecmascript' (reference
+    std::regex emulation, functions/regex_dialect.py) — forwarded to
+    MatcherSpec.compiled().
+    """
     raw = [
-        (m.id, m.row, m.compiled(), m.pattern, m.caseSensitive, m.wholeWord)
+        (m.id, m.row, m.compiled(dialect), m.pattern, m.caseSensitive, m.wholeWord)
         for m in sorted((s for s in specs if s.enabled), key=lambda s: s.row)
     ]
     return _compile_matchers(raw)
@@ -284,6 +291,7 @@ def make_span_extractor(
     *,
     include_search: bool = True,
     include_combined: bool = False,
+    dialect: str = "python",
 ):
     """Build the Arrow-batched span-extraction pandas UDF.
 
@@ -294,8 +302,8 @@ def make_span_extractor(
     transform — a pure Catalyst projection). Use `attach_spans(df, text_col,
     extractor, ...)` for the end-to-end convenience path.
     """
-    ftab = _matcher_table(filters)
-    stab = _matcher_table(searches) if include_search else []
+    ftab = _matcher_table(filters, dialect)
+    stab = _matcher_table(searches, dialect) if include_search else []
     want_combined = include_combined
 
     arr = ArrayType(IntegerType(), False)
@@ -413,6 +421,7 @@ def attach_spans(
     *,
     include_search: bool = True,
     include_combined: bool = False,
+    dialect: str = "python",
 ):
     """df + filter_spans [+ search_spans] [+ combined_spans] columns."""
     extractor = make_span_extractor(
@@ -420,6 +429,7 @@ def attach_spans(
         searches,
         include_search=include_search,
         include_combined=include_combined,
+        dialect=dialect,
     )
     out = df.withColumn("_flat", extractor(F.col(text_col)))
     out = out.withColumn("filter_spans", assemble_spans("_flat", kind="filter"))
@@ -440,6 +450,7 @@ def make_fused_extractor(
     include_search: bool = True,
     include_combined: bool = False,
     sep: str = " ",
+    dialect: str = "python",
 ):
     """Fused detokenize + span extraction: ONE Arrow round trip.
 
@@ -456,8 +467,8 @@ def make_fused_extractor(
     table = np.asarray(list(vocab) + [UNK], dtype=object)
     nv = len(vocab)
 
-    ftab = _matcher_table(filters)
-    stab = _matcher_table(searches) if include_search else []
+    ftab = _matcher_table(filters, dialect)
+    stab = _matcher_table(searches, dialect) if include_search else []
     want_combined = include_combined
 
     arr = ArrayType(IntegerType(), False)

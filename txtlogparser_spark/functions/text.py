@@ -123,3 +123,68 @@ def min_kgram_hash(text_col: str = "text", k: int = 8) -> Column:
 
 def doc_fingerprint(text_col: str = "text", length: int = 16) -> Column:
     return F.substring(F.md5(F.col(text_col)), 1, length)
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 3,
+):
+    """Top-k TF-IDF terms per group — the "characteristic vocabulary"
+    report of a corpus-analysis pass. Pure Catalyst end to end:
+
+      explode(split) → two partial-agg groupBys (term-freq per
+      (group, word); doc-freq per word) → broadcast the K-row doc-freq
+      dim → per-group window top-k.
+
+    tf = occurrences of word in the group's docs; df = docs containing
+    the word; idf = ln((N_docs + 1) / (df + 1)); score = tf * idf
+    (rounded to 6 for cross-engine hashing). Ties break on word ASC.
+    Scale shape: both aggregates map-side-combine before one shuffle on
+    their keys; the doc-freq side collapses to ≤|vocab| rows and joins
+    broadcast; the only window is per-group (partitioned, never global).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # N as a broadcast 1-row aggregate, not an eager driver count — the
+    # whole report stays ONE lazy plan
+    ndf = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    words = df.select(
+        group_col,
+        F.col(text_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    tf = words.groupBy(group_col, "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        df.select(
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "rank", "word", F.col("tf").cast("long").alias("tf"), "score")
+    )

@@ -45,11 +45,19 @@ def _fold(s: str) -> str:
     return s.translate(_ASCII_LOWER)
 
 
-def candidate_token_ids(f: FilterSpec, vocab: Sequence[str]) -> Optional[List[int]]:
+def candidate_token_ids(
+    f: FilterSpec, vocab: Sequence[str], dialect: str = "python"
+) -> Optional[List[int]]:
     """Token ids whose surface form could participate in a match of
     filter `f`, or None when no sound token-level necessary condition
     exists."""
     if f.regex:
+        if dialect != "python":
+            # _required_literal parses with Python `re` semantics; under
+            # the ecmascript emulation the same pattern can match
+            # different strings (identity escapes, literal braces), so
+            # no sound token-level condition is derivable here
+            return None
         lit = _required_literal(f.pattern)
         if not lit:
             return None
@@ -70,7 +78,10 @@ def candidate_token_ids(f: FilterSpec, vocab: Sequence[str]) -> Optional[List[in
 
 
 def token_survival_prefilter(
-    filters: Sequence[FilterSpec], vocab: Sequence[str], tokens_col: str = "tokens"
+    filters: Sequence[FilterSpec],
+    vocab: Sequence[str],
+    tokens_col: str = "tokens",
+    dialect: str = "python",
 ) -> Optional[Column]:
     """JVM-only necessary condition for OR-survival over the tokens column,
     or None when any enabled filter lacks a sound candidate set."""
@@ -79,7 +90,7 @@ def token_survival_prefilter(
         return None
     conds = []
     for f in enabled:
-        cands = candidate_token_ids(f, vocab)
+        cands = candidate_token_ids(f, vocab, dialect)
         if cands is None:
             return None
         if not cands:

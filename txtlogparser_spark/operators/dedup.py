@@ -301,3 +301,70 @@ def simhash_candidate_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 10,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → (doc_id,
+    group_rep): every doc that appears in a verified duplicate pair is
+    labeled with the smallest doc id reachable through pairs — the
+    canonical "keep one per near-dup cluster" step after LSH+verify.
+
+    Scale shape: iterative min-label propagation over the symmetric edge
+    list. Each round is ONE equi-join (labels ⋈ edges on node) + ONE
+    groupBy-min — both shuffles on doc id, AQE-sized, no driver-side
+    graph state; the only per-round driver traffic is a scalar
+    convergence count. Rounds needed = graph diameter, and near-dup
+    graphs are overwhelmingly tiny cliques/short chains (diameter ≤ a
+    few), so the loop terminates in a handful of rounds at any corpus
+    size. Lineage is truncated with localCheckpoint every
+    `checkpoint_every` rounds so plans don't grow unboundedly.
+
+    Input: (doc_a, doc_b) pairs, doc_a < doc_b. Output: one row per
+    distinct endpoint, (doc_id, group_rep). Deterministic: min-label is
+    order-independent.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+    rev = pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select("node").distinct().withColumn("lab", F.col("node")).persist()
+    )
+    labels.count()  # materialize before the loop re-reads it
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(labels, "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
+                ).alias("lab"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            labels.withColumnRenamed("lab", "old")
+            .join(new_labels, "node")
+            .where(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    # truncate the accumulated per-round lineage: downstream consumers
+    # (joins, sinks) get a leaf-sized plan over the materialized labels
+    # (O(#docs-in-pairs) rows, already persisted), not R rounds of it
+    labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_rep"))

@@ -114,15 +114,18 @@ def match_regex(text: str, compiled: re.Pattern) -> List[Tuple[int, int]]:
     return [(m.start(), m.end()) for m in compiled.finditer(text)]
 
 
-def match_positions(spec: MatcherSpec, text: str) -> List[Tuple[int, int]]:
+def match_positions(
+    spec: MatcherSpec, text: str, dialect: str = "python"
+) -> List[Tuple[int, int]]:
     """Dispatch on matcher mode (FilterData::apply, FilterData.cpp:95-108)."""
     if spec.regex:
-        return match_regex(text, spec.compiled())
+        return match_regex(text, spec.compiled(dialect))
     return match_non_regex(text, spec.pattern, spec.caseSensitive, spec.wholeWord)
 
 
 def apply_matcher_to_segment(
-    spec: MatcherSpec, text: str, seg: Span, *, as_search: bool
+    spec: MatcherSpec, text: str, seg: Span, *, as_search: bool,
+    dialect: str = "python",
 ) -> List[Span]:
     """Apply one matcher to one unclaimed segment, emitting the alternating
     unmatched/matched span decomposition (FilterData.cpp:129-158).
@@ -134,7 +137,7 @@ def apply_matcher_to_segment(
     dropped by OR-survival).
     """
     sub = text[seg.start : seg.end]
-    positions = match_positions(spec, sub)
+    positions = match_positions(spec, sub, dialect)
     out: List[Span] = []
     last = 0
     for s, e in positions:

@@ -85,7 +85,10 @@ def run_pipeline(lines: Sequence[LineRec], ws: WorkspaceConfig) -> OracleResult:
                         nxt.append(sp)
                     else:
                         nxt.extend(
-                            apply_matcher_to_segment(f, rec.text, sp, as_search=False)
+                            apply_matcher_to_segment(
+                                f, rec.text, sp, as_search=False,
+                                dialect=ws.regex_dialect,
+                            )
                         )
                 spans = nxt
             matched = False
@@ -114,7 +117,10 @@ def run_pipeline(lines: Sequence[LineRec], ws: WorkspaceConfig) -> OracleResult:
                         nxt.append(sp)
                     else:
                         nxt.extend(
-                            apply_matcher_to_segment(s, ol.rec.text, sp, as_search=True)
+                            apply_matcher_to_segment(
+                                s, ol.rec.text, sp, as_search=True,
+                                dialect=ws.regex_dialect,
+                            )
                         )
                 spans = nxt
             for sp in spans:

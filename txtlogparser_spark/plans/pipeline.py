@@ -61,9 +61,13 @@ class LogPipeline:
         source_info: Optional[DataFrame] = None,
         *,
         salt_buckets: int = 0,
+        invalid_regex: str = "reject",
     ) -> None:
         self.spark = spark
-        self.ws = workspace.validate()
+        # invalid_regex='match_nothing' admits reference workspaces whose
+        # patterns this dialect rejects (they claim no spans at run time,
+        # FilterData.cpp:234-237) instead of failing the load
+        self.ws = workspace.validate(invalid_regex=invalid_regex)
         self.vocab = list(vocab)
         self.source_info = source_info
         # salted repartition width for hot-source skew (SURVEY.md §4 #2);
@@ -118,8 +122,13 @@ class LogPipeline:
         searches = self.ws.enabled_searches() if with_search else []
         pre = survival_prefilter(filters, F.col("text"), self.spark)
         df = enriched.where(pre)
+        # rlike-based prefilter stays a sound necessary condition under
+        # the ecmascript dialect: Java regex semantics are a superset of
+        # the emulated ECMA semantics for every translated construct,
+        # and Java-invalid patterns fall back to lit(True)
         df = attach_spans(
-            df, "text", filters, searches, include_search=with_search
+            df, "text", filters, searches, include_search=with_search,
+            dialect=self.ws.regex_dialect,
         )
         if filters:
             df = df.where(filter_predicate(F.col("filter_spans")))
@@ -177,7 +186,9 @@ class LogPipeline:
                 F.col("source"),
                 F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets)),
             )
-        tok_pre = token_survival_prefilter(filters, self.vocab)
+        tok_pre = token_survival_prefilter(
+            filters, self.vocab, dialect=self.ws.regex_dialect
+        )
         if tok_pre is not None:
             df = df.where(tok_pre)
         df = df.withColumn(
@@ -193,6 +204,18 @@ class LogPipeline:
             if token_tables is None
             else token_tables
         )
+        if self.ws.regex_dialect != "python":
+            # the word-locality gate and per-word span tables analyze
+            # Python `re` sre trees; under the ecmascript emulation the
+            # generic fused extractor (which compiles via compile_ecma)
+            # is the correct path
+            if token_tables:
+                raise ValueError(
+                    "token_tables=True is python-dialect only (the "
+                    "word-locality gate analyzes Python `re` ASTs); "
+                    f"workspace dialect is {self.ws.regex_dialect!r}"
+                )
+            use_tokens = False
         use_arrow = use_tokens if arrow_path is None else (arrow_path and use_tokens)
         if not use_arrow and not assembled:
             # flat f_*/s_* sink columns exist only on the mapInArrow path;
@@ -272,7 +295,8 @@ class LogPipeline:
                         "always materializes text"
                     )
                 fused_udf = make_fused_extractor(
-                    self.vocab, filters, searches, include_search=with_search
+                    self.vocab, filters, searches, include_search=with_search,
+                    dialect=self.ws.regex_dialect,
                 )
             df = df.withColumn("_flat", fused_udf(F.col("tokens")))
             if with_text:
