@@ -329,6 +329,28 @@ class TestEcmaDialectE2E:
             spark, ws, build_vocab(), invalid_regex="match_nothing"
         )  # loads
 
+    def test_ecma_prefilter_translates_before_rlike(self, spark):
+        # '\Z' is a literal 'Z' under the emulated ECMA grammar but an
+        # anchor to Java regex: the rlike prefilter must see the
+        # TRANSLATED pattern or it drops rows the matcher claims
+        import pyspark.sql.functions as F
+
+        from txtlogparser_spark.oracle.matcher import match_positions
+        from txtlogparser_spark.operators.route import survival_prefilter
+
+        spec = FilterSpec(601, 0, r"x\Z", regex=True)
+        assert match_positions(spec, "axZb", "ecmascript") == [(1, 3)]
+        df = spark.createDataFrame([("axZb",), ("nope",)], ["text"])
+        kept = [
+            r["text"]
+            for r in df.where(
+                survival_prefilter(
+                    [spec], F.col("text"), spark, dialect="ecmascript"
+                )
+            ).collect()
+        ]
+        assert kept == ["axZb"]
+
     def test_roundtrip_and_digest_stability(self):
         ws = self._ws("ecmascript")
         d = ws.to_dict()

@@ -194,13 +194,110 @@ class TestEcmaEmulation:
         assert self.espans("a{2,3}", "aaaa") == [(0, 3)]  # real quantifier kept
 
     def test_identity_escapes(self):
-        # \A \Z \z \G are identity escapes (literal letters) in the
-        # ECMAScript grammar, not Python anchors.
+        # \<letter> outside the shared special set is an identity escape
+        # (literal letter) in std::regex, but a Python anchor (\A \Z \z)
+        # or a hard "bad escape" error (\G \q \E \p) — emulated to the
+        # literal, in and out of classes.
         assert self.espans(r"x\Z", "xZ") == [(0, 2)]
         assert self.espans(r"\Ax", "Ax") == [(0, 2)]
+        assert self.espans(r"\q+", "qqx") == [(0, 2)]
+        assert self.espans(r"[\Z\q]+", "Zq!") == [(0, 2)]
+        with pytest.raises(re.error):
+            re.compile(r"\q")  # Python rejects what std::regex accepts
+
+    def test_control_escape(self):
+        # \cA is the control character U+0001 in ECMA; Python has no \c
+        assert compile_ecma(r"\cA").search("x\x01y").span() == (1, 2)
+        assert ecma_to_python(r"\cA") == r"\x01"
 
     def test_icase_is_bytewise(self):
         # icase folding under re.ASCII stays byte-wise like the "C"
         # locale: 'K' matches 'k' but not the Kelvin sign 'K'.
         assert self.espans("k", "K", icase=True) == [(0, 1)]
         assert self.espans("k", "K", icase=True) == []
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the translator over random regex ASTs (hypothesis).
+# Mirrors the word-locality gate's fail-closed property
+# (test_token_spans.py): future grammar corners the scanner does not know
+# must surface as a counterexample here, not as a silent meaning change.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Constructs whose meaning is IDENTICAL in both dialects (no divergence
+# corpus entry): on these, translation must be a semantic no-op.
+_AGREE_ATOMS = [
+    "a", "b", "Q", "1", "_", ".", r"\d", r"\D", r"\w", r"\W", r"\s",
+    r"\S", r"\b", r"\B", "^", r"\x41", r"\.", r"\\", r"\t", r"\n",
+    "[ab]", "[^a]", "[a-c]", "[a1_]", r"[\d]", r"[^\w]",
+]
+# Valid-ECMA atoms that DIVERGE (each backed by a corpus entry above):
+# bare $, empty classes, Annex-B literal braces, identity escapes,
+# control escapes. The translator must stay TOTAL over these.
+_ECMA_ATOMS = _AGREE_ATOMS + [
+    "$", "[]", "[^]", "}", r"\Z", r"\A", r"\q", r"\E", r"\cA", r"\cz",
+    r"[\Z]", "{x", "{,5}",
+]
+_QUANTS = ["", "*", "+", "?", "{1,2}", "{2}", "*?", "+?", "??"]
+
+
+def _ecma_ast(atoms, depth: int):
+    atom = st.sampled_from(atoms)
+    if depth <= 0:
+        return atom
+    sub = _ecma_ast(atoms, depth - 1)
+    piece = st.builds(
+        lambda e, q: e + q, st.one_of(atom, sub), st.sampled_from(_QUANTS)
+    )
+    return st.one_of(
+        atom,
+        st.builds(lambda a, b: a + b, piece, piece),          # concat
+        st.builds(lambda a, b: f"(?:{a}|{b})", sub, sub),     # alternation
+        st.builds(lambda e: f"({e})", sub),                   # group
+        st.builds(lambda e: f"(?={e})", sub),                 # lookahead
+        st.builds(lambda e: f"(?!{e})", sub),                 # negative look
+    )
+
+
+class TestTranslatorProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(pat=_ecma_ast(_AGREE_ATOMS, 2), data=st.data())
+    def test_agreeing_ast_translation_is_semantic_noop(self, pat, data):
+        # Quantifying a quantifier/anchor can error in either dialect —
+        # the corpus pins those; here only co-valid patterns are in scope
+        try:
+            base = re.compile(pat, re.ASCII)
+        except re.error:
+            return
+        try:
+            emu = compile_ecma(pat)
+        except EcmaRegexError:
+            # translator may reject what Python accepts (e.g. possessive
+            # '*+' via quantifier stacking) — never the other way: that
+            # is pinned by test_reference_rejects
+            return
+        text = data.draw(
+            st.text(alphabet="abQ1_ .\t\nxZ", min_size=0, max_size=12)
+        )
+        assert [m.span() for m in emu.finditer(text)] == [
+            m.span() for m in base.finditer(text)
+        ], f"translated={ecma_to_python(pat)!r}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(pat=_ecma_ast(_ECMA_ATOMS, 2))
+    def test_translator_total_over_valid_ecma(self, pat):
+        # Over the whole valid-ECMA atom space the translator either
+        # raises EcmaRegexError (a documented reject), compiles, or fails
+        # with an error BOTH grammars share (quantified assertion →
+        # "nothing to repeat", etc.). What must never escape is a
+        # Python-ONLY reject of an ECMA-valid form — "bad escape" is
+        # exactly that signature (untranslated identity/control escape).
+        try:
+            compile_ecma(pat)
+        except EcmaRegexError:
+            pass
+        except re.error as e:
+            assert "bad escape" not in str(e), ecma_to_python(pat)

@@ -27,6 +27,11 @@ Emulated deltas (each corresponds to a corpus entry):
                                           treats a leading ']' as a literal
     - non-quantifier '{' / '}' escaped    ECMA Annex B literal braces; Python
                                           ≥3.12 reads '{,n}' as '{0,n}'
+    - identity escapes \A \Z \z \G \q \E \p … → bare letter
+                                          std::regex: literal letter;
+                                          Python: anchor or "bad escape"
+    - \cX → \xHH                          ECMA control escape; Python has
+                                          no \c and errors
   flags:
     - compile with re.ASCII              std::regex classifies \\w \\b \\d \\s
                                           (and icase folding) byte-wise in the
@@ -74,10 +79,24 @@ def ecma_to_python(pattern: str) -> str:
             if i + 1 >= n:
                 raise EcmaRegexError("trailing backslash")
             nxt = pattern[i + 1]
-            if not in_class and nxt in "AZzG":
-                # Identity escapes in the ECMAScript grammar (literal
-                # letter), but Python-special anchors (\A \Z \z) or an
-                # error (\G) — emit the bare letter.
+            if nxt == "c" and i + 2 < n and pattern[i + 2].isascii() and pattern[i + 2].isalpha():
+                # ControlEscape \cX → the control character (ECMA);
+                # Python has no \c and errors — emit it as \xHH
+                out.append("\\x%02x" % (ord(pattern[i + 2].upper()) % 32))
+                i += 3
+                prev_was_quant = False
+                continue
+            if (
+                nxt.isascii()
+                and nxt.isalpha()
+                and nxt not in "bBdDsSwWfnrtvxuc"
+            ):
+                # Identity escapes: std::regex treats \<letter> outside
+                # its special set as the literal letter (\A \Z \z \G \q
+                # \E \p …), while Python `re` either anchors (\A \Z) or
+                # raises "bad escape" — emit the bare letter. Inside a
+                # class the same applies ([\Z] is literal Z in ECMA, an
+                # error in Python).
                 out.append(nxt)
             else:
                 out.append(pattern[i : i + 2])

@@ -44,7 +44,10 @@ def _java_regex_ok(spark: Optional[SparkSession], pattern: str) -> bool:
 
 
 def _necessary_condition(
-    f: FilterSpec, text_col: Column, spark: Optional[SparkSession]
+    f: FilterSpec,
+    text_col: Column,
+    spark: Optional[SparkSession],
+    dialect: str = "python",
 ) -> Column:
     if not f.regex:
         # substring containment is an exact necessary condition for the
@@ -58,6 +61,22 @@ def _necessary_condition(
     pat = f.pattern
     if f.wholeWord:
         pat = r"\b" + pat + r"\b"
+    if dialect == "ecmascript":
+        # rlike must see the TRANSLATED pattern: e.g. '\Z' is a literal
+        # 'Z' under the emulated grammar but an anchor to Java regex —
+        # prefiltering on the raw pattern could drop rows the matcher
+        # claims. Post-translation, Java semantics are a superset of the
+        # emulated Python semantics for every rewritten construct
+        # (Java \Z ⊇ Python \Z, ASCII \w/\b/icase match, escaped braces
+        # and [^\s\S]/[\s\S] classes are literal-identical), so the
+        # condition stays sound-necessary. ECMA-rejected patterns claim
+        # nothing — lit(True) is trivially sound for them.
+        from txtlogparser_spark.functions.regex_dialect import ecma_to_python
+
+        try:
+            pat = ecma_to_python(pat)
+        except ValueError:
+            return F.lit(True)
     if not f.caseSensitive:
         pat = "(?i)" + pat
     if _java_regex_ok(spark, pat):
@@ -69,15 +88,16 @@ def survival_prefilter(
     filters: Sequence[FilterSpec],
     text_col: Column,
     spark: Optional[SparkSession] = None,
+    dialect: str = "python",
 ) -> Column:
     """OR of per-filter necessary conditions; `lit(True)` when no filters
     are enabled (pass-through semantics, OutputData.cpp:323-329)."""
     enabled = [f for f in filters if f.enabled]
     if not enabled:
         return F.lit(True)
-    cond = _necessary_condition(enabled[0], text_col, spark)
+    cond = _necessary_condition(enabled[0], text_col, spark, dialect)
     for f in enabled[1:]:
-        cond = cond | _necessary_condition(f, text_col, spark)
+        cond = cond | _necessary_condition(f, text_col, spark, dialect)
     return cond
 
 

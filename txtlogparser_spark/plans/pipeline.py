@@ -120,7 +120,9 @@ class LogPipeline:
         """Coarse prefilter → span UDF → exact OR-survival → route tag."""
         filters = self.ws.enabled_filters()
         searches = self.ws.enabled_searches() if with_search else []
-        pre = survival_prefilter(filters, F.col("text"), self.spark)
+        pre = survival_prefilter(
+            filters, F.col("text"), self.spark, dialect=self.ws.regex_dialect
+        )
         df = enriched.where(pre)
         # rlike-based prefilter stays a sound necessary condition under
         # the ecmascript dialect: Java regex semantics are a superset of
