@@ -195,6 +195,10 @@ def main():
         fn = qs[name]
         ts = []
         for _ in range(2):  # 2nd run excludes per-plan codegen warmup
+            # hermetic trials: operators may persist() small intermediates
+            # (dedup candidate tables); without clearing, trial 2 reads
+            # trial 1's cache and records cache-hit time as query time
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)

@@ -113,7 +113,13 @@ def lsh_candidate_pairs(
     ).alias("bd")
     banded = signatures.select(key, bands).select(
         key, F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey")
-    )
+    ).persist()
+    # ^ the self-join consumes `banded` twice, and when one side is
+    # broadcast there is no exchange to reuse — without persist the whole
+    # signature lineage (shingle explode × K seeds + two groupBys, the
+    # chain's md5-heavy bulk) executes once PER SIDE (measured: 24 s vs
+    # 8 s fresh at sf0.1). banded is (docs × nbands) rows — tiny at any
+    # scale next to the shingle table it collapses.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -153,6 +159,25 @@ def ngram_jaccard_pairs(
     pairs (exhaustive — small corpora / tests only)."""
     sh = shingle_table(df, key, text_col, n)
     if candidates is not None:
+        # DIAMOND dataflow: `candidates` feeds BOTH the doc filter and the
+        # final pair join, and `docsets` feeds both join sides. Catalyst
+        # plants a separate physical subtree per reference (the differing
+        # projections defeat ReusedExchange), so without persistence the
+        # entire LSH candidate-generation lineage executes 3× per action
+        # (measured 26 s vs 9 s at sf0.1). Both tables are O(candidates)
+        # rows — tiny next to the corpus — so MEMORY_AND_DISK persist is
+        # the scale-correct cut; the corpus-sized shingle table stays
+        # unpersisted (recomputing a map-only explode beats caching it at
+        # 100 TB).
+        # persist alone is NOT enough: a single downstream action launches
+        # the broadcast subtrees (cand_docs, sa, sb, final probe) as
+        # concurrent jobs that RACE to fill the unmaterialized cache,
+        # re-running the LSH lineage in parallel (measured 20 s vs 8 s
+        # fresh at sf0.1) — so materialize eagerly, like building a
+        # broadcast dim. The candidate list is the natural pipeline
+        # barrier in a production dedup pass anyway.
+        candidates = candidates.persist()
+        candidates.count()
         cand_docs = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias(key)
         ).distinct()
@@ -160,7 +185,9 @@ def ngram_jaccard_pairs(
             sh.join(cand_docs, key, "leftsemi")
             .groupBy(key)
             .agg(F.collect_set("shingle").alias("shset"))
+            .persist()
         )
+        docsets.count()
         sa = docsets.select(
             F.col(key).alias("doc_a"), F.col("shset").alias("sa")
         )
@@ -334,32 +361,32 @@ def duplicate_components(
         edges.select("node").distinct().withColumn("lab", F.col("node")).persist()
     )
     labels.count()  # materialize before the loop re-reads it
+    prev = labels
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels, "node")
             .groupBy(F.col("nbr").alias("node"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
-                ).alias("lab"),
-            )
+        # carry a changed flag so convergence is read off the SAME
+        # aggregate action that materializes the round's cache — one job
+        # per round instead of an update job plus an old⋈new count join
+        upd = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
+            ).alias("lab"),
+            (F.coalesce(F.col("nbr_lab"), F.col("lab")) < F.col("lab")).alias(
+                "chg"
+            ),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        changed = (
-            labels.withColumnRenamed("lab", "old")
-            .join(new_labels, "node")
-            .where(F.col("lab") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            upd = upd.localCheckpoint(eager=False)
+        upd = upd.persist()
+        changed = upd.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        prev.unpersist()
+        prev = upd
+        labels = upd.select("node", "lab")
         if changed == 0:
             break
     edges.unpersist()
