@@ -26,24 +26,28 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(args):
-    n_iter, cpu, data = args
-    os.sched_setaffinity(0, {cpu})
+# Loaded ONCE in the parent before the Pool forks; children inherit via
+# copy-on-write. Per-process numpy/pyarrow import + parquet read + table
+# build used to dominate the probe (~5 min for a ~1 min measurement),
+# which made per-pair probes from scaling.py unaffordable.
+_CTX: dict = {}
+
+
+def _preload(data: str) -> None:
+    if _CTX.get("data") == data:
+        return
     sys.path.insert(0, REPO)
     import numpy as np
     import pyarrow.dataset as ds
 
-    from txtlogparser_spark.functions.token_spans import (
-        build_word_tables,
-        spans_for_ids,
-    )
+    from txtlogparser_spark.functions.token_spans import build_word_tables
     from txtlogparser_spark.sources.fixtures import build_vocab, default_workspace
 
     d = ds.dataset(data, format="parquet", partitioning="hive")
     tokens = d.head(20000).column("tokens").to_pylist()
     vocab = build_vocab()
     ws = default_workspace()
-    wlen, hc, ff, sf, cf = build_word_tables(
+    tables = build_word_tables(
         vocab,
         ws.enabled_filters(),
         ws.enabled_searches(),
@@ -51,12 +55,24 @@ def worker(args):
         want_combined=False,
     )
     nv = len(vocab)
+    ids_list = [
+        np.where((a >= 0) & (a < nv), a, nv)
+        for a in (np.asarray(t, dtype=np.int64) for t in tokens)
+    ]
+    _CTX.update({"data": data, "ids": ids_list, "tables": tables})
+
+
+def worker(args):
+    n_iter, cpu = args
+    os.sched_setaffinity(0, {cpu})
+    from txtlogparser_spark.functions.token_spans import spans_for_ids
+
+    wlen, hc, ff, sf, cf = _CTX["tables"]
+    ids_list = _CTX["ids"]
     t0 = time.perf_counter()
     rows = 0
     for _ in range(n_iter):
-        for t in tokens:
-            ids = np.asarray(t, dtype=np.int64)
-            ids = np.where((ids >= 0) & (ids < nv), ids, nv)
+        for ids in ids_list:
             spans_for_ids(
                 ids, wlen, hc, ff, sf, cf, want_search=True, want_combined=False
             )
@@ -70,28 +86,41 @@ def _cpu_stat():
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
-def main():
+def measure(n_iter: int = 2, data: str | None = None) -> dict:
+    """One ceiling measurement: P=8 then P=32 share-nothing pinned
+    processes running the pipeline's per-row compute; returns the result
+    dict WITHOUT recording it. Callable from BENCH/scaling.py for
+    per-pair same-window normalization (a ceiling measured hours earlier
+    is stale under minute-scale co-tenant drift)."""
     sys.path.insert(0, REPO)
-    import bench
+    if data is None:
+        import bench
 
-    data = os.path.join(bench.ensure_bench_sequences(), "sequences")
+        data = os.path.join(bench.ensure_bench_sequences(), "sequences")
+    _preload(data)
     out = {}
     tot0, st0 = _cpu_stat()
     for P in (8, 32):
         with mp.Pool(P) as pool:
-            rates = pool.map(worker, [(2, i, data) for i in range(P)])
+            rates = pool.map(worker, [(n_iter, i) for i in range(P)])
         out[P] = round(sum(rates), 1)
-        print(f"P={P}: aggregate {out[P]:,.0f} rows/s")
     tot1, st1 = _cpu_stat()
     steal_pct = 100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
     ceiling = (out[32] / out[8]) / 4
-    result = {
+    return {
         "metric": "same-box compute scaling ceiling (share-nothing pinned processes)",
         "throughput_p8": out[8],
         "throughput_p32": out[32],
         "ceiling_efficiency": round(ceiling, 3),
         "steal_pct": round(steal_pct, 2),
     }
+
+
+def main():
+    result = measure(n_iter=2)
+    print(f"P=8: aggregate {result['throughput_p8']:,.0f} rows/s")
+    print(f"P=32: aggregate {result['throughput_p32']:,.0f} rows/s")
+    steal_pct = result["steal_pct"]
     print(json.dumps(result))
     if steal_pct > 2.0:
         # a ceiling taken under co-tenant steal UNDERSTATES the box (the
