@@ -86,31 +86,40 @@ def _cpu_stat():
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
-def measure(n_iter: int = 2, data: str | None = None) -> dict:
-    """One ceiling measurement: P=8 then P=32 share-nothing pinned
-    processes running the pipeline's per-row compute; returns the result
-    dict WITHOUT recording it. Callable from BENCH/scaling.py for
-    per-pair same-window normalization (a ceiling measured hours earlier
-    is stale under minute-scale co-tenant drift)."""
+def measure(n_iter: int = 2, data: str | None = None, repeats: int = 2) -> dict:
+    """One ceiling measurement: interleaved P=8 / P=32 share-nothing
+    pinned-process legs running the pipeline's per-row compute; returns
+    the result dict WITHOUT recording it. Callable from BENCH/scaling.py
+    for per-pair same-window normalization (a ceiling measured hours
+    earlier is stale under minute-scale co-tenant drift).
+
+    Each leg is ~10 s, short enough that ONE co-tenant burst hitting one
+    leg skews the ratio badly (observed in-protocol: 'ceilings' of 1.140
+    and 0.633 in the same run — both physically impossible readings of a
+    fixed hardware bound). Defense: run `repeats` interleaved rounds of
+    both levels and take the BEST aggregate per level — noise only ever
+    subtracts throughput, so per-level max is the least-contended
+    estimate and a burst must hit every leg of a level to survive."""
     sys.path.insert(0, REPO)
     if data is None:
         import bench
 
         data = os.path.join(bench.ensure_bench_sequences(), "sequences")
     _preload(data)
-    out = {}
+    best = {8: 0.0, 32: 0.0}
     tot0, st0 = _cpu_stat()
-    for P in (8, 32):
-        with mp.Pool(P) as pool:
-            rates = pool.map(worker, [(n_iter, i) for i in range(P)])
-        out[P] = round(sum(rates), 1)
+    for _ in range(repeats):
+        for P in (8, 32):
+            with mp.Pool(P) as pool:
+                rates = pool.map(worker, [(n_iter, i) for i in range(P)])
+            best[P] = max(best[P], round(sum(rates), 1))
     tot1, st1 = _cpu_stat()
     steal_pct = 100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
-    ceiling = (out[32] / out[8]) / 4
+    ceiling = (best[32] / best[8]) / 4
     return {
         "metric": "same-box compute scaling ceiling (share-nothing pinned processes)",
-        "throughput_p8": out[8],
-        "throughput_p32": out[32],
+        "throughput_p8": best[8],
+        "throughput_p32": best[32],
         "ceiling_efficiency": round(ceiling, 3),
         "steal_pct": round(steal_pct, 2),
     }

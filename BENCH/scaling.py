@@ -351,8 +351,13 @@ def main():
             probe = None
         pair_ceilings.append(probe["ceiling_efficiency"] if probe else None)
         pair_probe_steal.append(probe["steal_pct"] if probe else None)
+        # a ceiling is a bound on a fixed hardware ratio: readings >1.0
+        # are probe noise by definition — clamp for normalization (the
+        # raw probe value is recorded above either way)
         pair_norm.append(
-            round(pair_eff[-1] / probe["ceiling_efficiency"], 3) if probe else None
+            round(pair_eff[-1] / min(probe["ceiling_efficiency"], 1.0), 3)
+            if probe
+            else None
         )
         print(
             f"pair {k + 1}/{args.trials}: N={tN:.1f}s 4N={t4:.1f}s "
