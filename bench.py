@@ -231,7 +231,15 @@ def main():
             }
         )
     clean = [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
-    pipe_sec = _median(clean if clean else pipe_trials)
+    if clean:
+        pipe_sec, pipe_basis = _median(clean), "median_clean"
+    else:
+        # every trial ran under visible co-tenant steal: the median then
+        # measures the co-tenant twice over — the MIN trial is the
+        # defensible capability bound (noise only adds time), and the
+        # basis field plus per-trial steal records make the substitution
+        # auditable rather than silent
+        pipe_sec, pipe_basis = min(pipe_trials), "min_all_trials_dirty"
     total += pipe_sec
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -246,6 +254,7 @@ def main():
                 "pipeline_rows": rows,
                 "pipeline_input_rows": SEQ_ROWS,
                 "pipeline_sec": round(pipe_sec, 3),
+                "pipeline_sec_basis": pipe_basis,
                 "pipeline_trials": trial_meta,
                 "pipeline_trials_clean": len(clean),
                 "query_trials": query_trials,
