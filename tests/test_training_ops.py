@@ -300,6 +300,24 @@ class TestSimilarity:
         # clustered data: same-cluster vectors collide in ≥1 table
         assert len(e & a) >= (2 * len(e)) // 3
 
+    def test_lsh_plan_hash_joins_only(self, spark):
+        """Candidate enumeration must be per-table equi-joins (hash-
+        joinable), never a nested-loop over an OR of signature
+        equalities — the OR form is O(queries × corpus) at scale."""
+        from txtlogparser_spark.operators.similarity import as_double_vec, lsh_topk
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(20)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        plan = lsh_topk(
+            queries, corpus.where("vec_id >= 2"), k=3, dim=4, bits=6, tables=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestTextFunctions:
     def test_counts_and_quality(self, docs):

@@ -155,10 +155,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Bucketed ANN: candidates share a signature in ≥1 table; exact
     cosine re-rank on candidates only. Recall < 1 by design — trade
-    against brute_force_topk (which is the correctness oracle)."""
+    against brute_force_topk (which is the correctness oracle).
+
+    Candidate enumeration is a UNION of per-table equi-joins on the
+    signature, NOT a single join on `qsig0=sig0 OR qsig1=sig1 OR ...`:
+    Catalyst cannot hash-join an OR of equalities, so the OR form
+    degenerates to BroadcastNestedLoopJoin — O(queries × corpus)
+    signature comparisons, i.e. brute force wearing an LSH costume.
+    The union form is T broadcast/shuffle HASH joins on the bucket key
+    (the actual IVF/LSH scale shape); a pair matching in several tables
+    appears several times, so candidates are distinct-ed on (qid, cid)
+    before the vectors are joined back for the exact re-rank. The
+    candidate SET is identical to the OR-join's, so results (and the
+    DuckDB oracle, which replays the OR form on id-sets) are unchanged.
+    """
     c_sig = corpus.select(
         cid,
-        cvec,
         *[
             signlsh_signature(cvec, dim, bits, t).alias(f"sig{t}")
             for t in range(tables)
@@ -166,17 +178,22 @@ def lsh_topk(
     )
     q_sig = queries.select(
         qid,
-        qvec,
         *[
             signlsh_signature(qvec, dim, bits, t).alias(f"qsig{t}")
             for t in range(tables)
         ],
     )
-    cond = None
+    pairs = None
     for t in range(tables):
-        c = F.col(f"qsig{t}") == F.col(f"sig{t}")
-        cond = c if cond is None else (cond | c)
-    cands = q_sig.join(c_sig, cond)
+        p = q_sig.select(qid, F.col(f"qsig{t}").alias("_bkt")).join(
+            c_sig.select(cid, F.col(f"sig{t}").alias("_bkt")), "_bkt"
+        ).select(qid, cid)
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cands = (
+        pairs.distinct()
+        .join(corpus.select(cid, cvec), cid)
+        .join(F.broadcast(queries.select(qid, qvec)), qid)
+    )
     sims = cands.withColumn(
         "sim", dot(F.col(qvec), F.col(cvec)) / (l2norm(F.col(qvec)) * l2norm(F.col(cvec)))
     )
