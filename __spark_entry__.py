@@ -753,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
         "events_json_agg": q_events_json_agg,
@@ -1113,6 +1114,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
               FROM cands
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # ann_ivf_topk: IVF-flat. Centroids = the 8 corpus vectors with
+        # smallest (md5(vec_id), vec_id) — DuckDB reproduces the identical
+        # coarse quantizer, cell assignment (cosine argmax, tie → smaller
+        # centroid index), 2-cell probes, and exact re-rank.
+        "ann_ivf_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id, v FROM v WHERE vec_id >= 10),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
+                     v AS cv
+              FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+            ),
+            ascore AS (
+              SELECT c.vec_id, c.v, cents.cent,
+                list_dot_product(c.v, cents.cv)
+                  / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) AS s
+              FROM c CROSS JOIN cents
+            ),
+            assign AS (
+              SELECT vec_id, v, cent FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent ASC) AS rn
+                FROM ascore) WHERE rn = 1
+            ),
+            qscore AS (
+              SELECT q.query_id, q.qv, cents.cent,
+                list_dot_product(q.qv, cents.cv)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cv, cents.cv))) AS s
+              FROM q CROSS JOIN cents
+            ),
+            probes AS (
+              SELECT query_id, qv, cent FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cent ASC) AS rn
+                FROM qscore) WHERE rn <= 2
+            ),
+            sims AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                list_dot_product(p.qv, a.v)
+                  / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+              FROM probes p JOIN assign a USING (cent)
+            )
+            SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM sims) WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "dedup_minhash_lsh": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -1558,6 +1604,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     out = lsh_topk(q, v.where(F.col("vec_id") >= 10), k=5, dim=64, bits=10, tables=3)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat bucketed ANN (the coarse-quantizer scale path,
+    operators/similarity.py::ivf_topk). Centroids = the 8 corpus vectors
+    with smallest md5(vec_id) — deterministic and engine-portable, so
+    cell assignment, probing, and re-rank all replay in DuckDB. The plan
+    is two broadcast hash joins + one per-query window shuffle; the
+    corpus-side cell assignment is pure map-side codegen (centroid
+    literals inlined, like the sign-LSH planes)."""
+    from txtlogparser_spark.operators.similarity import as_double_vec, ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = ivf_topk(q, v.where(F.col("vec_id") >= 10), k=5, n_cells=8, nprobe=2)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim_r")
     ).orderBy("query_id", "rank")

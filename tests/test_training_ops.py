@@ -300,6 +300,65 @@ class TestSimilarity:
         # clustered data: same-cluster vectors collide in ≥1 table
         assert len(e & a) >= (2 * len(e)) // 3
 
+    def test_ivf_recall_and_plan(self, spark):
+        """IVF-flat: on clustered data, probing the 2 nearest of 8 cells
+        recovers most exact neighbors; the physical plan must be hash
+        joins only (map-side cell assignment, no cartesian/nested-loop)."""
+        from txtlogparser_spark.operators.similarity import (
+            as_double_vec,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(11)
+        centers = rng.randn(8, 8) * 4
+        vecs = np.vstack([
+            centers[i % 8] + rng.randn(8) * 0.15 for i in range(80)
+        ]).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(80)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cor = corpus.where("vec_id >= 4")
+        approx_df = ivf_topk(queries, cor, k=3, n_cells=8, nprobe=2)
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+        exact = brute_force_topk(queries, cor, k=3).collect()
+        approx = approx_df.collect()
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        # query's own cluster is its nearest cell → most true neighbors
+        # live in a probed cell
+        assert len(e & a) >= (2 * len(e)) // 3
+
+    def test_ivf_matches_bruteforce_when_probing_all_cells(self, spark):
+        """nprobe == n_cells ⇒ every cell scanned ⇒ IVF must equal the
+        exact baseline row-for-row (the bucketing only PARTITIONS the
+        corpus, it never drops or duplicates a row)."""
+        from txtlogparser_spark.operators.similarity import (
+            as_double_vec,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 6).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "v"]
+        ).withColumn("v", as_double_vec("v"))
+        queries = corpus.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cor = corpus.where("vec_id >= 3")
+        exact = brute_force_topk(queries, cor, k=4).collect()
+        full = ivf_topk(queries, cor, k=4, n_cells=4, nprobe=4).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+        assert sorted(map(key, exact)) == sorted(map(key, full))
+
     def test_lsh_plan_hash_joins_only(self, spark):
         """Candidate enumeration must be per-table equi-joins (hash-
         joinable), never a nested-loop over an OR of signature

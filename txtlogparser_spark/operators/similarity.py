@@ -11,10 +11,18 @@
   md5("{table}:{bit}:{dim}") — no RNG state, reproducible across
   runs/executors, AND portable: DuckDB computes the identical signatures,
   so the bucketed path has a full SQL oracle (not just a recall test).
+- ivf_topk: IVF-flat — the coarse-quantizer scale path. Centroids are
+  the n_cells corpus vectors with smallest md5(vec_id) (deterministic,
+  engine-portable); every corpus vector is assigned map-side to its
+  nearest centroid (cosine argmax over inlined centroid literals — a
+  Catalyst HOF, zero shuffle); queries probe their nprobe nearest cells;
+  candidates = corpus rows in probed cells (equi-join on cell id); exact
+  cosine re-rank on candidates only. Scan fraction ≈ nprobe/n_cells.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import pyspark.sql.functions as F
@@ -193,6 +201,117 @@ def lsh_topk(
         pairs.distinct()
         .join(corpus.select(cid, cvec), cid)
         .join(F.broadcast(queries.select(qid, qvec)), qid)
+    )
+    sims = cands.withColumn(
+        "sim", dot(F.col(qvec), F.col(cvec)) / (l2norm(F.col(qvec)) * l2norm(F.col(cvec)))
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, "rank", F.col(cid).alias("neighbor_id"), "sim")
+    )
+
+
+def _vec_lit(vec: list) -> str:
+    """SQL array literal of doubles with full repr round-trip precision
+    (centroid components must match the engine's doubles bit-exactly)."""
+    return "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+
+
+def _cosine_to_cents_expr(vec_col: str, cents: list) -> str:
+    """SQL fragment: array of struct(s: cosine(vec, cent_i), negc: -i),
+    one element per centroid — centroids inlined as literals so the
+    assignment is pure map-side codegen (the K-row centroid dim rides in
+    the plan like a broadcast dim, not as a join)."""
+    cent_arr = "array(" + ", ".join(_vec_lit(c) for c in cents) + ")"
+    norm_arr = (
+        "array("
+        + ", ".join(f"cast({math.sqrt(sum(x * x for x in c))!r} as double)" for c in cents)
+        + ")"
+    )
+    n = len(cents)
+    return f"""
+        transform(sequence(0, {n - 1}), i ->
+          struct(
+            aggregate(zip_with({vec_col}, element_at({cent_arr}, i + 1),
+                               (x, y) -> x * y),
+                      cast(0.0 as double), (a, x) -> a + x)
+              / (sqrt(aggregate(transform({vec_col}, x -> x * x),
+                                cast(0.0 as double), (a, x) -> a + x))
+                 * element_at({norm_arr}, i + 1)) AS s,
+            -i AS negc))
+    """
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int, *, cid: str = "vec_id", cvec: str = "v"
+) -> list:
+    """The n_cells corpus vectors with smallest (md5(cid), cid) — a
+    deterministic, RNG-free coarse quantizer that DuckDB reproduces
+    verbatim (ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT C). Centroid
+    i is the i-th in that order. A driver-side K-row collect, same class
+    as enrich dims: O(n_cells × dim) bytes, independent of corpus size;
+    the selection itself is TakeOrderedAndProject (per-partition top-C,
+    no global sort)."""
+    rows = (
+        corpus.select(F.col(cid), F.col(cvec))
+        .orderBy(F.md5(F.col(cid).cast("string")), F.col(cid))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[cvec]] for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame, cents: list, *, vec: str, nprobe: int = 1
+) -> Column:
+    """Cell ids of the nprobe nearest centroids (cosine, tie → smaller
+    centroid index), as an array<int> — computed per-row with inlined
+    literals, no shuffle. array_sort on struct(-s, c) = sim desc, index
+    asc."""
+    scored = _cosine_to_cents_expr(vec, cents)
+    return F.expr(
+        f"""
+        slice(
+          transform(
+            array_sort(transform({scored}, p -> struct(-p.s AS negs, -p.negc AS c))),
+            p -> p.c),
+          1, {nprobe})
+        """
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    qid: str = "query_id",
+    cid: str = "vec_id",
+    qvec: str = "qv",
+    cvec: str = "v",
+) -> DataFrame:
+    """IVF-flat ANN. At 100 TB: the corpus is scanned once map-side for
+    cell assignment (HOF argmax over literal centroids), the tiny probe
+    set (queries × nprobe rows) is broadcast onto the cell equi-join, and
+    the only shuffle is the per-query top-k window over candidates —
+    ≈ nprobe/n_cells of the corpus. Recall < 1 by design (a query's true
+    neighbor can live in an unprobed cell); brute_force_topk is the
+    recall oracle."""
+    cents = ivf_centroids(corpus, n_cells, cid=cid, cvec=cvec)
+    assigned = corpus.select(
+        cid, cvec, ivf_assign(corpus, cents, vec=cvec, nprobe=1)[0].alias("_cell")
+    )
+    probes = queries.select(
+        qid, F.explode(ivf_assign(queries, cents, vec=qvec, nprobe=nprobe)).alias("_cell")
+    )
+    # corpus row lives in exactly one cell and a query's probe cells are
+    # distinct → each (query, corpus) candidate appears at most once
+    cands = assigned.join(F.broadcast(probes), "_cell").join(
+        F.broadcast(queries.select(qid, qvec)), qid
     )
     sims = cands.withColumn(
         "sim", dot(F.col(qvec), F.col(cvec)) / (l2norm(F.col(qvec)) * l2norm(F.col(cvec)))
