@@ -731,6 +731,80 @@ def q_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py::asof_join): every purchase
+    paired with the user's most recent click at-or-before it. One
+    shuffle on user_id + a window pass — never an inequality join (which
+    Catalyst would run as a per-key nested loop). The click side is
+    deduped to one row per (user, ts) (max event_id) so the tie rule is
+    engine-independent; DuckDB verifies with a native ASOF LEFT JOIN."""
+    from txtlogparser_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        p, c, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id", "ts"], suffix="_c",
+    )
+    us = lambda c: F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("click_id_c"), F.lit(-1)).alias("click_id"),
+        F.coalesce(us("ts") - us("ts_c"), F.lit(-1)).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+def q_events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/temporal.py::
+    bucketed_range_join): error events joined to the activity burst
+    (gap-sessionized non-error events, 1-day gap — sized to this
+    fixture's event density so bursts span multiple events) of the same
+    user whose [first, last] event span contains them. Intervals explode to
+    6-hour buckets and the join is an equi-join on (user_id, bucket) +
+    exact containment — the raw BETWEEN predicate would be a per-user
+    cross product. Timestamps compare at microsecond precision."""
+    from txtlogparser_spark.operators.temporal import bucketed_range_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = e.where(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    # tz-independent epoch microseconds (ts is TIMESTAMP_NTZ; unix_micros
+    # would require a session-timezone-dependent cast)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 86400), 1).otherwise(0)
+    sess = (
+        base.withColumn("sess_id", F.sum(is_new).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min(us).alias("t0"),
+            F.max(us).alias("t1"),
+            F.count(F.lit(1)).alias("sess_n_events"),
+        )
+    )
+    errs = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", us.alias("tp")
+    )
+    j = bucketed_range_join(
+        errs, sess, point_col="tp", start_col="t0", end_col="t1",
+        bucket=21_600_000_000, keys=["user_id"],
+    )
+    return j.select(
+        "error_id", "user_id", F.col("t0").alias("sess_start_us"), "sess_n_events"
+    ).orderBy("error_id", "sess_start_us")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -773,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "user_sessions": q_user_sessions,
         "user_session_windows": q_user_session_windows,
+        "events_asof_join": q_events_asof_join,
+        "events_session_range_join": q_events_session_range_join,
     }
 
 
@@ -1496,6 +1572,60 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
             FROM s GROUP BY user_id, sess_id
             ORDER BY user_id, sess_start_ep
+        """,
+        # events_asof_join: DuckDB's native ASOF LEFT JOIN is the oracle
+        # for the union+window implementation; the click side is deduped
+        # per (user, ts) in both engines so tie-breaking is identical.
+        "events_asof_join": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+              WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.purchase_id, p.user_id,
+              COALESCE(c.click_id, -1) AS click_id,
+              CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id
+        """,
+        # events_session_range_join: plain BETWEEN range join replays the
+        # bucketed equi-join + containment filter (identical pair set —
+        # a point lives in exactly one bucket).
+        "events_session_range_join": """
+            WITH base AS (
+              SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+            ),
+            g AS (
+              SELECT user_id, event_id, ts,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM base
+            ),
+            s AS (
+              SELECT user_id, ts,
+                SUM(CASE WHEN gap IS NULL OR gap > 86400 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM g
+            ),
+            sess AS (
+              SELECT user_id, sess_id, MIN(epoch_us(ts)) AS t0,
+                MAX(epoch_us(ts)) AS t1, COUNT(*) AS sess_n_events
+              FROM s GROUP BY user_id, sess_id
+            )
+            SELECT e.event_id AS error_id, e.user_id,
+              CAST(sess.t0 AS BIGINT) AS sess_start_us,
+              CAST(sess.sess_n_events AS BIGINT) AS sess_n_events
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND epoch_us(e.ts) BETWEEN sess.t0 AND sess.t1
+            WHERE e.event_type = 'error'
+            ORDER BY error_id, sess_start_us
         """,
         "user_sessions": """
             WITH g AS (
