@@ -45,6 +45,9 @@ AUDITED = [
     "ann_lsh_topk",
     "dedup_groups",
     "tfidf_top_terms",
+    "ann_ivf_topk",
+    "events_asof_join",
+    "events_session_range_join",
 ]
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")
