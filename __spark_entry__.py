@@ -849,6 +849,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_windows": q_user_session_windows,
         "events_asof_join": q_events_asof_join,
         "events_session_range_join": q_events_session_range_join,
+        "decontaminate_eval": q_decontaminate_eval,
+        "repetition_stats": q_repetition_stats,
+        "source_mix_sample": q_source_mix_sample,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
+        "token_length_stats": q_token_length_stats,
+        "redact_terms": q_redact_terms,
     }
 
 
@@ -1649,6 +1656,135 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(n_events) AS BIGINT) AS total_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
+        # decontaminate_eval: replay the broadcast n-gram probe as a
+        # plain shingle join (n=3, eval = doc_id % 97 == 0)
+        "decontaminate_eval": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n, MIN(s.shingle) AS fh
+              FROM sh s JOIN ev USING (shingle)
+              WHERE s.doc_id % 97 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id,
+              h.doc_id IS NOT NULL AS is_contaminated,
+              CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_shingles,
+              h.fh AS first_hit
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+        """,
+        "repetition_stats": """
+            WITH b AS (
+              SELECT doc_id, words,
+                [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS bg
+              FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            ), f AS (
+              SELECT doc_id,
+                ROUND(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6)
+                  AS dup_word_frac,
+                CASE WHEN len(words) >= 2 THEN
+                  ROUND(list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6)
+                ELSE 0.0 END AS top_bigram_frac
+              FROM b
+            )
+            SELECT doc_id, dup_word_frac, top_bigram_frac,
+              (dup_word_frac > 0.5 OR top_bigram_frac > 0.18) AS is_repetitive
+            FROM f
+        """,
+        # source_mix_sample: the md5-hex threshold compare is replayed
+        # bit-for-bit (rates (idx%4+1)*0.25 are binary-exact doubles)
+        "source_mix_sample": """
+            WITH pol AS (
+              SELECT source,
+                ((CAST(substr(source, 4) AS INT) % 4) + 1) * 0.25 AS mix_rate
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            kept AS (
+              SELECT d.doc_id, d.source, p.mix_rate
+              FROM documents d JOIN pol p USING (source)
+              WHERE '0' || substr(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    < printf('%09x', CAST(p.mix_rate * 4294967296 AS BIGINT))
+            )
+            SELECT source, mix_rate,
+              CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM kept GROUP BY source, mix_rate ORDER BY source
+        """,
+        "pack_chunks": """
+            WITH d AS (
+              SELECT source, doc_id,
+                len(string_split(text, ' ')) AS n_tok FROM documents
+            ), c AS (
+              SELECT source, doc_id, n_tok,
+                SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+              FROM d
+            )
+            SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(e - n_tok AS BIGINT) AS tok_start,
+              CAST((e - n_tok) // 128 AS BIGINT) AS first_chunk,
+              CAST((e - 1) // 128 AS BIGINT) AS last_chunk,
+              CAST((e - n_tok) % 128 AS BIGINT) AS chunk_offset,
+              CAST((e - 1) // 128 - (e - n_tok) // 128 + 1 AS BIGINT) AS n_chunks
+            FROM c ORDER BY source, doc_id
+        """,
+        # pack_greedy: the next-fit walk is a recursive CTE stepping one
+        # row per source per iteration — exact replay of the reset rule
+        "pack_greedy": """
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            walk AS (
+              SELECT source, doc_id, n_tok, rn,
+                0 AS bin_id, 0 AS pos_in_bin, n_tok AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.n_tok, d.rn,
+                CASE WHEN w.fill > 0 AND w.fill + d.n_tok > 128
+                     THEN w.bin_id + 1 ELSE w.bin_id END,
+                CASE WHEN w.fill > 0 AND w.fill + d.n_tok > 128
+                     THEN 0 ELSE w.pos_in_bin + 1 END,
+                CASE WHEN w.fill > 0 AND w.fill + d.n_tok > 128
+                     THEN d.n_tok ELSE w.fill + d.n_tok END
+              FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+            )
+            SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(bin_id AS BIGINT) AS bin_id,
+              CAST(pos_in_bin AS BIGINT) AS pos_in_bin,
+              CAST(fill AS BIGINT) AS bin_fill_after
+            FROM walk ORDER BY source, doc_id
+        """,
+        "token_length_stats": """
+            WITH d AS (
+              SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+            )
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              ROUND(AVG(n_tok), 4) AS mean_tok,
+              ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
+              ROUND(quantile_cont(n_tok, 0.9), 4) AS p90,
+              ROUND(quantile_cont(n_tok, 0.99), 4) AS p99
+            FROM d GROUP BY source ORDER BY source
+        """,
+        "redact_terms": """
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\\b(scan|join|error)\\b')) AS INT)
+                AS n_redacted,
+              md5(regexp_replace(text, '\\b(scan|join|error)\\b', '[REDACTED]', 'g'))
+                AS redacted_md5
+            FROM documents
+        """,
     }
 
 
@@ -1835,4 +1971,138 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.rollup("n_name", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("n_name", "o_orderpriority")
+    )
+
+
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination (operators/decontaminate.py):
+    the held-out set is every 97th doc; any training doc sharing a word
+    n-gram with it is flagged with the distinct-hit count and the
+    lexicographically-first shared gram. Scale shape: the eval gram set
+    is broadcast (benchmark-sized side), the training side is one
+    map-side explode+probe plus a single per-doc groupBy — never a
+    shuffle of the big side's grams against the eval side. n=3 is
+    fixture-tuned (the synthetic vocabulary is tiny); production
+    pipelines use 8-13-grams with the identical plan."""
+    from txtlogparser_spark.operators.decontaminate import contamination_flags
+
+    d = _docs_part(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(train, ev, n=3).orderBy("doc_id")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc (functions/
+    text.py): duplicate-word fraction, top-bigram fraction, and the
+    combined reject flag. Pure Catalyst HOFs — row-local, map-only, no
+    shuffle; linear in corpus size."""
+    from txtlogparser_spark.functions.text import (
+        duplicate_word_fraction,
+        is_repetitive,
+        top_bigram_fraction,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        duplicate_word_fraction().alias("dup_word_frac"),
+        top_bigram_fraction().alias("top_bigram_frac"),
+        is_repetitive().alias("is_repetitive"),
+    )
+
+
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (operators/sampling.py): each source
+    gets a target rate ((idx % 4)+1)*0.25 and rows are kept by a pure
+    md5 content hash — the selected SET is stable across partitionings
+    and cluster sizes (df.sample() is not), and the oracle replays the
+    identical md5-hex threshold compare. Map-only plan: broadcast policy
+    dim + hash filter; the distinct-source collect is a K-row policy dim
+    (same class as enrich.py's lookup dims). Verified per source by
+    count + id-sum of the sampled set."""
+    from txtlogparser_spark.operators.sampling import hash_sample
+
+    d = _docs_part(spark, sf_dir)
+    srcs = [r[0] for r in d.select("source").distinct().collect()]
+    rates = {s: ((int(s[3:]) % 4) + 1) * 0.25 for s in srcs}
+    return (
+        hash_sample(d, rates)
+        .groupBy("source", "mix_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing manifest (operators/
+    packing.py::chunk_pack): per-source token streams in doc_id order
+    cut every 128 tokens; each doc reports its stream offset and chunk
+    span. Two-level cumsum (per-(source, key-bucket) window + broadcast
+    per-bucket offsets — same shape as the display path's global index)
+    so a hot source never serializes onto one task. bucket_width=64
+    exercises the multi-bucket path at fixture scale."""
+    from txtlogparser_spark.operators.packing import chunk_pack
+
+    d = _docs_part(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return chunk_pack(
+        d, capacity=128, bucket_width=64
+    ).orderBy("source", "doc_id")
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing manifest (operators/packing.py::greedy_pack):
+    docs never split; a doc opens a new bin when it would overflow the
+    current one. Data-dependent running reset = the documented
+    applyInPandas case (sequential per source by semantics); oracled by
+    a DuckDB recursive CTE replaying the same walk."""
+    from txtlogparser_spark.operators.packing import greedy_pack
+
+    d = _docs_part(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return greedy_pack(d, capacity=128).orderBy("source", "doc_id")
+
+
+def q_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: exact interpolated
+    p50/p90/p99 plus mean — the corpus-profiling pass that sizes packing
+    capacity and length filters. Single partial-agg groupBy; exact
+    `percentile` matches DuckDB's quantile_cont interpolation, rounded
+    to 4 for cross-engine hashing."""
+    d = _docs_part(spark, sf_dir).select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    pct = F.expr("percentile(n_tok, array(0.5D, 0.9D, 0.99D))")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tok"),
+            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(pct.getItem(1), 4).alias("p90"),
+            F.round(pct.getItem(2), 4).alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style term redaction: global regexp_replace of a denylist
+    pattern with a count of redactions per doc (the scrub stage of a
+    publishing pipeline). JVM regex, map-only; the pattern stays inside
+    the RE2/Java/ECMA common subset so the oracle replays it exactly.
+    The rewritten text is verified by md5 (full-text equality without
+    hauling text through the compare)."""
+    d = _docs(spark, sf_dir)
+    pat = r"\b(scan|join|error)\b"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_redacted"),
+        F.md5(F.regexp_replace("text", pat, "[REDACTED]")).alias("redacted_md5"),
     )

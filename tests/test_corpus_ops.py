@@ -1,0 +1,212 @@
+"""Round-3 corpus operators: decontamination, repetition quality,
+deterministic sampling/mixing, sequence packing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "s0"),
+        (1, "iota kappa lambda mu nu xi omicron pi", "s0"),
+        (2, "alpha beta gamma delta other words here now", "s1"),  # shares 4-gram with 0
+        (3, "rho sigma tau upsilon phi chi psi omega", "s1"),
+        (4, "spam spam spam spam spam spam spam spam", "s1"),  # degenerate repetition
+        (5, "one two one two one two one two", "s2"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text", "source"])
+
+
+class TestDecontaminate:
+    def test_flags_and_removal(self, spark, docs):
+        from txtlogparser_spark.operators.decontaminate import (
+            contamination_flags,
+            decontaminate,
+        )
+
+        train = docs.where(F.col("doc_id") != 0)
+        ev = docs.where(F.col("doc_id") == 0)
+        flags = {
+            r["doc_id"]: (r["is_contaminated"], r["n_hit_shingles"], r["first_hit"])
+            for r in contamination_flags(train, ev, n=4).collect()
+        }
+        assert flags[2][0] is True
+        assert flags[2][1] == 1 and flags[2][2] == "alpha beta gamma delta"
+        for clean in (1, 3, 4, 5):
+            assert flags[clean] == (False, 0, None)
+
+        kept = {r["doc_id"] for r in decontaminate(train, ev, n=4).collect()}
+        assert kept == {1, 3, 4, 5}
+
+    def test_broadcast_probe_side(self, spark, docs):
+        """The eval n-gram set must reach the join as a broadcast — the
+        100 TB shape is a map-side probe, not a shuffle of train grams
+        against eval grams."""
+        from txtlogparser_spark.operators.decontaminate import contamination_flags
+
+        out = contamination_flags(docs, docs.limit(2), n=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_ngram_longer_than_doc_is_clean(self, spark, docs):
+        from txtlogparser_spark.operators.decontaminate import contamination_flags
+
+        out = contamination_flags(docs, docs, n=50).collect()
+        assert all(not r["is_contaminated"] for r in out)
+
+
+class TestRepetition:
+    def test_fractions(self, spark, docs):
+        from txtlogparser_spark.functions.text import (
+            duplicate_word_fraction,
+            is_repetitive,
+            top_bigram_fraction,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id",
+                duplicate_word_fraction().alias("dup"),
+                top_bigram_fraction().alias("top2"),
+                is_repetitive().alias("rep"),
+            ).collect()
+        }
+        # all-distinct doc: no repetition
+        assert out[0]["dup"] == 0.0
+        assert out[0]["top2"] == pytest.approx(1 / 7, abs=1e-6)
+        assert not out[0]["rep"]
+        # 8x same word: 7/8 dup, all 7 bigrams identical
+        assert out[4]["dup"] == pytest.approx(7 / 8, abs=1e-6)
+        assert out[4]["top2"] == 1.0
+        assert out[4]["rep"]
+        # alternating pair: 6/8 dup words, 'one two' bigram = 4/7
+        assert out[5]["dup"] == pytest.approx(6 / 8, abs=1e-6)
+        assert out[5]["top2"] == pytest.approx(4 / 7, abs=1e-6)
+        assert out[5]["rep"]
+
+    def test_short_doc_guard(self, spark):
+        from txtlogparser_spark.functions.text import top_bigram_fraction
+
+        one = spark.createDataFrame([(0, "word")], ["doc_id", "text"])
+        assert one.select(top_bigram_fraction().alias("t")).first()["t"] == 0.0
+
+
+class TestHashSample:
+    def test_rates_and_determinism(self, spark):
+        from txtlogparser_spark.operators.sampling import hash_sample
+
+        rows = [(i, "hot" if i % 2 == 0 else "cold") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        rates = {"hot": 0.25, "cold": 1.0}
+        got = hash_sample(df, rates).groupBy("source").count().collect()
+        counts = {r["source"]: r["count"] for r in got}
+        assert counts["cold"] == 1000  # rate 1.0 keeps everything
+        assert 150 < counts["hot"] < 350  # ~250 expected
+
+        # determinism: identical selected SET across repartitionings
+        a = {r["doc_id"] for r in hash_sample(df, rates).collect()}
+        b = {
+            r["doc_id"]
+            for r in hash_sample(df.repartition(17, "doc_id"), rates).collect()
+        }
+        assert a == b
+
+    def test_unlisted_source_default(self, spark):
+        from txtlogparser_spark.operators.sampling import hash_sample
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "source"])
+        assert hash_sample(df, {"x": 1.0}).count() == 1
+        assert hash_sample(df, {"x": 1.0}, default_rate=1.0).count() == 2
+
+    def test_split_frac(self, spark):
+        from txtlogparser_spark.operators.sampling import train_eval_split
+
+        df = spark.range(10000).withColumnRenamed("id", "doc_id")
+        n_eval = train_eval_split(df, 0.1).where("is_eval").count()
+        assert 800 < n_eval < 1200
+
+    def test_threshold_hex(self):
+        from txtlogparser_spark.operators.sampling import rate_threshold_hex
+
+        assert rate_threshold_hex(0.0) == "000000000"
+        assert rate_threshold_hex(1.0) == "100000000"
+        assert rate_threshold_hex(0.5) == "080000000"
+        with pytest.raises(ValueError):
+            rate_threshold_hex(1.5)
+
+
+class TestPacking:
+    def _mk(self, spark):
+        rows = [
+            ("s0", 0, 60), ("s0", 1, 50), ("s0", 2, 30), ("s0", 3, 100),
+            ("s0", 4, 10), ("s1", 5, 120), ("s1", 6, 5),
+        ]
+        return spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+
+    def test_chunk_pack_small(self, spark):
+        from txtlogparser_spark.operators.packing import chunk_pack
+
+        out = {
+            r["doc_id"]: r
+            for r in chunk_pack(self._mk(spark), capacity=100).collect()
+        }
+        # s0 stream offsets: 0,60,110,140,240
+        assert (out[0]["tok_start"], out[0]["first_chunk"], out[0]["last_chunk"]) == (0, 0, 0)
+        assert (out[1]["tok_start"], out[1]["first_chunk"], out[1]["last_chunk"]) == (60, 0, 1)
+        assert out[1]["n_chunks"] == 2  # straddles the 100 cut
+        assert (out[3]["tok_start"], out[3]["first_chunk"], out[3]["last_chunk"]) == (140, 1, 2)
+        assert out[4]["chunk_offset"] == 40
+        # s1 independent stream
+        assert (out[5]["first_chunk"], out[5]["last_chunk"]) == (0, 1)
+
+    def test_chunk_pack_bucket_invariance(self, spark):
+        """Two-level cumsum must equal the single-window cumsum for any
+        bucket width (including widths that split the key range)."""
+        from txtlogparser_spark.operators.packing import chunk_pack
+
+        rows = [("s", i, 7 + (i * 13) % 40) for i in range(200)]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+        wide = chunk_pack(df, capacity=64, bucket_width=1 << 30)
+        narrow = chunk_pack(df, capacity=64, bucket_width=16)
+        a = sorted(map(tuple, wide.collect()))
+        b = sorted(map(tuple, narrow.collect()))
+        assert a == b
+
+    def test_greedy_pack(self, spark):
+        from txtlogparser_spark.operators.packing import greedy_pack
+
+        out = {
+            r["doc_id"]: (r["bin_id"], r["pos_in_bin"], r["bin_fill_after"])
+            for r in greedy_pack(self._mk(spark), capacity=100).collect()
+        }
+        # s0: 60 | 50(new bin) 30 10 -> fill 90 | 100(own bin? 50+30+10=90, +100>100 -> new)
+        assert out[0] == (0, 0, 60)
+        assert out[1] == (1, 0, 50)
+        assert out[2] == (1, 1, 80)
+        assert out[3] == (2, 0, 100)
+        assert out[4] == (2, 1, 110) or out[4] == (3, 0, 10)
+        # doc 3 fills bin exactly (100): doc 4 (10) must open a new bin
+        assert out[4] == (3, 0, 10)
+        # s1: 120 > capacity -> own bin, never split
+        assert out[5] == (0, 0, 120)
+        assert out[6] == (1, 0, 5)
+
+    def test_greedy_pack_never_splits_and_orders(self, spark):
+        from txtlogparser_spark.operators.packing import greedy_pack
+
+        rows = [("s", i, 30 + (i * 7) % 50) for i in range(300)]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+        got = greedy_pack(df, capacity=128).orderBy("doc_id").collect()
+        fill = 0
+        last_bin = 0
+        for r in got:
+            if r["bin_id"] != last_bin:
+                assert r["bin_id"] == last_bin + 1  # bins open sequentially
+                assert r["pos_in_bin"] == 0
+                fill = 0
+                last_bin = r["bin_id"]
+            fill += r["n_tok"]
+            assert r["bin_fill_after"] == fill
+            assert fill <= 128 or r["pos_in_bin"] == 0  # overflow only for solo docs

@@ -48,6 +48,12 @@ AUDITED = [
     "ann_ivf_topk",
     "events_asof_join",
     "events_session_range_join",
+    "decontaminate_eval",
+    "source_mix_sample",
+    "pack_chunks",
+    "pack_greedy",
+    "repetition_stats",
+    "token_length_stats",
 ]
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")

@@ -125,6 +125,55 @@ def doc_fingerprint(text_col: str = "text", length: int = 16) -> Column:
     return F.substring(F.md5(F.col(text_col)), 1, length)
 
 
+def duplicate_word_fraction(text_col: str = "text") -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word
+    (1 - distinct/total). The word-level form of the repetition filters
+    in published pretraining-quality rule sets (Gopher/MassiveText-style
+    "duplicate line/paragraph fraction" — our fixture docs are single
+    logical lines, so the unit is the word). Pure Catalyst."""
+    words = F.split(F.col(text_col), " ")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6
+    )
+
+
+def top_bigram_fraction(text_col: str = "text") -> Column:
+    """Fraction of the document's word-bigrams taken by its single most
+    frequent bigram (Gopher-style "top 2-gram fraction": boilerplate and
+    degenerate repetition push this toward 1). Pure Catalyst HOFs:
+    build the bigram array, count each distinct bigram's occurrences,
+    take the max. O(distinct x total) per row — row-local, linear in the
+    corpus, no shuffle. Docs under 2 words score 0.0."""
+    w = F.split(F.col(text_col), " ")
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+        )
+    )
+    return F.when(
+        F.size(w) >= 2, F.round(top / F.size(bg), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def is_repetitive(
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.18,
+) -> Column:
+    """Reject rule combining the two repetition signals — the thresholds
+    are the tunable policy knobs a quality-filter stage exposes."""
+    return (duplicate_word_fraction(text_col) > max_dup_word_frac) | (
+        top_bigram_fraction(text_col) > max_top_bigram_frac
+    )
+
+
 def tfidf_top_terms(
     df,
     text_col: str = "text",

@@ -1,0 +1,157 @@
+"""Sequence packing for LLM pretraining pipelines.
+
+Tokenized documents must be packed into fixed-capacity training
+sequences. Two standard disciplines, both deterministic in (part_col,
+key) order:
+
+1. `chunk_pack` — concat-then-chunk (GPT-style): the token stream of
+   each source is conceptually concatenated in key order and cut every
+   `capacity` tokens; documents may straddle a cut. Output: each doc's
+   first/last chunk id, offset inside its first chunk, and chunk span.
+   Pure Catalyst.
+
+   Scale shape: the naive form is a running sum over
+   Window.partitionBy(source).orderBy(key) — correct, but a hot source
+   serializes onto ONE task (the same hazard the display path hit in
+   round 1). So the cumsum is TWO-LEVEL, same trick as
+   operators/windowing.py::with_global_index: key-range buckets
+   (floor(key / bucket_width)) keep ordering within a source, the
+   window runs per (source, bucket), and per-bucket totals (a tiny
+   aggregate: one row per bucket) are cumsummed and broadcast back as
+   offsets. No Exchange SinglePartition, no single hot task — a 10^12
+   row source splits across buckets while producing the exact global
+   per-source cumsum.
+
+2. `greedy_pack` — next-fit bin packing (no doc splitting): walk docs
+   in key order, append to the current bin while it fits, else open a
+   new bin. The bin boundary depends on every previous row (a running
+   sum with data-dependent reset), which no closed-form window
+   expresses — this is the documented applyInPandas case (custom
+   sequential-stateful op, Arrow-batched per group; the per-group walk
+   is a numpy loop over ints, not per-row Python in the dataframe).
+   Parallelism is per source; inherently so, because the semantics
+   chain every row in a source. For hot single sources prefer
+   chunk_pack, or pre-split the source with a deterministic key-range
+   shard column and pack per shard.
+
+Reference parity: no packing concept in TxtLogParser; training-pipeline
+extension (SURVEY.md sect.2 "beyond-reference" ops).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def chunk_pack(
+    df: DataFrame,
+    key: str = "doc_id",
+    len_col: str = "n_tok",
+    part_col: str = "source",
+    capacity: int = 2048,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Concat-then-chunk packing manifest. For each doc:
+      tok_start      — its first token's offset in the source's stream
+      first_chunk    — chunk id containing tok_start
+      last_chunk     — chunk id containing its final token
+      chunk_offset   — offset of tok_start inside first_chunk
+      n_chunks       — chunks spanned (>=1; 0-length docs pin to 1)
+
+    Two-level cumsum: per-(source, key-range-bucket) window + broadcast
+    per-bucket base offsets. Exact same result as the single hot window,
+    without the hot task.
+    """
+    b = F.floor(F.col(key) / F.lit(bucket_width)).alias("_pb")
+    rows = df.select(part_col, key, F.col(len_col).cast("long").alias("_len"), b)
+
+    w_in = Window.partitionBy(part_col, "_pb").orderBy(key)
+    local = rows.withColumn("_local_end", F.sum("_len").over(w_in))
+
+    # One row per (source, bucket): tiny relative to the data (width
+    # 2^20 keys/bucket) — the offsets cumsum windows over THIS dim, and
+    # the dim broadcasts back.
+    totals = rows.groupBy(part_col, "_pb").agg(F.sum("_len").alias("_tot"))
+    w_off = Window.partitionBy(part_col).orderBy("_pb")
+    offs = totals.withColumn(
+        "_base", F.sum("_tot").over(w_off) - F.col("_tot")
+    ).select(part_col, "_pb", "_base")
+
+    cap = F.lit(int(capacity))
+    packed = (
+        local.join(F.broadcast(offs), [part_col, "_pb"])
+        .withColumn("_end", F.col("_base") + F.col("_local_end"))
+        .withColumn("tok_start", F.col("_end") - F.col("_len"))
+        .withColumn("first_chunk", F.floor(F.col("tok_start") / cap))
+        .withColumn(
+            "last_chunk",
+            F.when(
+                F.col("_len") > 0, F.floor((F.col("_end") - 1) / cap)
+            ).otherwise(F.floor(F.col("tok_start") / cap)),
+        )
+        .withColumn("chunk_offset", F.col("tok_start") % cap)
+        .withColumn(
+            "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1)
+        )
+    )
+    return packed.select(
+        part_col, key, F.col("_len").alias(len_col),
+        "tok_start", "first_chunk", "last_chunk", "chunk_offset", "n_chunks",
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    key: str = "doc_id",
+    len_col: str = "n_tok",
+    part_col: str = "source",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Next-fit packing manifest: (part_col, key, n_tok, bin_id,
+    pos_in_bin, bin_fill_after). Docs longer than capacity get a bin of
+    their own (never split, never dropped). Deterministic in key order.
+    """
+    cap = int(capacity)
+    out_schema = (
+        f"{part_col} string, {key} long, {len_col} long, "
+        "bin_id long, pos_in_bin long, bin_fill_after long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key, kind="mergesort").reset_index(drop=True)
+        lens = pdf[len_col].to_numpy()
+        n = len(lens)
+        bins = [0] * n
+        poss = [0] * n
+        fills = [0] * n
+        cur_bin, cur_pos, cur_fill = 0, 0, 0
+        for i in range(n):
+            ln = int(lens[i])
+            if cur_fill > 0 and cur_fill + ln > cap:
+                cur_bin += 1
+                cur_pos = 0
+                cur_fill = 0
+            bins[i] = cur_bin
+            poss[i] = cur_pos
+            cur_fill += ln
+            fills[i] = cur_fill
+            cur_pos += 1
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col],
+                key: pdf[key].astype("int64"),
+                len_col: pdf[len_col].astype("int64"),
+                "bin_id": bins,
+                "pos_in_bin": poss,
+                "bin_fill_after": fills,
+            }
+        )
+
+    rows = df.select(
+        part_col,
+        F.col(key).cast("long").alias(key),
+        F.col(len_col).cast("long").alias(len_col),
+    )
+    return rows.groupBy(part_col).applyInPandas(pack, out_schema)

@@ -1,0 +1,95 @@
+"""Deterministic sampling / source mixing for training-data pipelines.
+
+Pretraining corpora are MIXED: each source (domain/crawl/dataset) gets a
+target sampling rate, and the selection must be deterministic and
+reproducible — re-running the pipeline on the same input must pick the
+same rows regardless of partitioning, task order, or cluster size. That
+rules out `df.sample()` (seeded per-partition, so the selected set
+changes with the physical split) and anything driver-stateful.
+
+The primitive here is a pure content hash: a row is kept iff
+
+    uniform01(md5(salt ':' key)) < rate(source)
+
+evaluated entirely in Catalyst. The md5-hex trick (compare the first 8
+hex chars, zero-padded to 9, against a precomputed 9-hex-char threshold
+string) makes the decision engine-portable — DuckDB computes the
+identical md5 hex, so the sampled SET (not just its size) is
+oracle-checkable. Fixed-width lowercase-hex comparison == numeric
+comparison on the 32-bit prefix; the extra leading digit lets rate=1.0
+('100000000') dominate every 8-hex value.
+
+Scale shape: map-only. The rate table is a tiny broadcast dim keyed on
+source; no shuffle, no state, no skew sensitivity — hot sources cost
+exactly their row count. Sampling composes with any downstream stage
+without breaking AQE or partition pruning.
+
+Reference parity: TxtLogParser has no sampling concept; this is a
+training-pipeline extension (SURVEY.md sect.2 "beyond-reference" ops).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_U32 = 1 << 32
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """9-lowercase-hex-char threshold for a [0,1] rate. rate=1.0 maps to
+    0x100000000 so every hash passes; rate=0.0 passes none."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * _U32), "09x")
+
+
+def hash_bucket_hex(key: Column, salt: str) -> Column:
+    """Zero-padded 9-hex-char uniform bucket of a key column. Lowercase
+    fixed-width hex compares lexicographically == numerically."""
+    return F.concat(
+        F.lit("0"),
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    key: str = "doc_id",
+    part_col: str = "source",
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its source's target rate, deterministically by
+    content hash. `rates` is the mixing policy {source: rate}. Unlisted
+    sources fall back to `default_rate`. Map-only: the policy joins as a
+    broadcast dim."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, float(r), rate_threshold_hex(r)) for s, r in sorted(rates.items())],
+        f"{part_col} string, mix_rate double, _thr string",
+    )
+    return (
+        df.join(F.broadcast(dim), part_col, "left")
+        .withColumn("_thr", F.coalesce("_thr", F.lit(rate_threshold_hex(default_rate))))
+        .withColumn("mix_rate", F.coalesce("mix_rate", F.lit(float(default_rate))))
+        .where(hash_bucket_hex(F.col(key), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def train_eval_split(
+    df: DataFrame,
+    eval_frac: float,
+    key: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic held-out split: adds `is_eval` (true for ~eval_frac
+    of rows, stable across runs/partitionings). Same md5 primitive."""
+    thr = rate_threshold_hex(eval_frac)
+    return df.withColumn(
+        "is_eval", hash_bucket_hex(F.col(key), salt) < F.lit(thr)
+    )
