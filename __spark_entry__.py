@@ -856,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "token_length_stats": q_token_length_stats,
         "redact_terms": q_redact_terms,
+        "corpus_funnel": q_corpus_funnel,
+        "vocab_top_words": q_vocab_top_words,
     }
 
 
@@ -1785,6 +1787,103 @@ def oracle_sql() -> dict[str, str]:
                 AS redacted_md5
             FROM documents
         """,
+        # corpus_funnel: every stage's per-doc flag replayed from the
+        # same fragments as the standalone oracles, then cumulative sums
+        "corpus_funnel": """
+            WITH base AS (
+              SELECT doc_id, source, text,
+                string_split(text, ' ') AS words,
+                string_split(lower(text), ' ') AS lwords,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars_t
+              FROM documents
+            ),
+            lid AS (
+              SELECT doc_id,
+                CASE WHEN greatest(r_en, r_es, r_fr, r_de) > 0 THEN 1 ELSE 0 END AS f_lang
+              FROM (
+                SELECT doc_id,
+                  len(list_filter(lwords, w -> list_contains(['the','a','of','and','to','in','is'], w))) * 1.0 / n_words AS r_en,
+                  len(list_filter(lwords, w -> list_contains(['el','la','de','y','en','que','los'], w))) * 1.0 / n_words AS r_es,
+                  len(list_filter(lwords, w -> list_contains(['le','la','de','et','en','que','les'], w))) * 1.0 / n_words AS r_fr,
+                  len(list_filter(lwords, w -> list_contains(['der','die','das','und','in','zu','den'], w))) * 1.0 / n_words AS r_de
+                FROM base)
+            ),
+            q AS (
+              SELECT doc_id,
+                CASE WHEN ROUND(least(n_words / 20.0, 1.0) * 0.4
+                  + (CASE WHEN n_chars_t * 1.0 / n_words >= 3
+                           AND n_chars_t * 1.0 / n_words <= 12
+                          THEN 1.0 ELSE 0.5 END) * 0.4
+                  + (1 - least(ROUND(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))
+                               * 1.0 / n_chars_t, 6) * 5, 1.0)) * 0.2, 6) >= 0.9
+                THEN 1 ELSE 0 END AS f_q
+              FROM base
+            ),
+            rep AS (
+              SELECT doc_id,
+                CASE WHEN
+                  ROUND(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6) <= 0.5
+                  AND (CASE WHEN len(words) >= 2 THEN
+                        ROUND(list_max(list_transform(list_distinct(bg),
+                                x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 6)
+                       ELSE 0.0 END) <= 0.18
+                THEN 1 ELSE 0 END AS f_rep
+              FROM (
+                SELECT doc_id, words,
+                  [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS bg
+                FROM base)
+            ),
+            keepr AS (
+              SELECT doc_id,
+                CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                     THEN 1 ELSE 0 END AS f_keep
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM base)
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+            ),
+            pol AS (
+              SELECT source,
+                ((CAST(substr(source, 4) AS INT) % 4) + 1) * 0.25 AS mix_rate
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            flags AS (
+              SELECT b.doc_id, lid.f_lang, q.f_q, rep.f_rep, keepr.f_keep,
+                CASE WHEN b.doc_id % 97 <> 0 AND dirty.doc_id IS NULL
+                     THEN 1 ELSE 0 END AS f_dec,
+                CASE WHEN '0' || substr(md5('mix-v1:' || CAST(b.doc_id AS VARCHAR)), 1, 8)
+                          < printf('%09x', CAST(pol.mix_rate * 4294967296 AS BIGINT))
+                     THEN 1 ELSE 0 END AS f_mix
+              FROM base b
+              JOIN lid USING (doc_id) JOIN q USING (doc_id)
+              JOIN rep USING (doc_id) JOIN keepr USING (doc_id)
+              LEFT JOIN dirty ON dirty.doc_id = b.doc_id
+              JOIN pol ON pol.source = b.source
+            )
+            SELECT stage, n_docs FROM (
+              SELECT 's0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+              UNION ALL SELECT 's1_langid', CAST(SUM(f_lang) AS BIGINT) FROM flags
+              UNION ALL SELECT 's2_quality', CAST(SUM(f_lang * f_q) AS BIGINT) FROM flags
+              UNION ALL SELECT 's3_repetition', CAST(SUM(f_lang * f_q * f_rep) AS BIGINT) FROM flags
+              UNION ALL SELECT 's4_exact_dedup', CAST(SUM(f_lang * f_q * f_rep * f_keep) AS BIGINT) FROM flags
+              UNION ALL SELECT 's5_decontaminate', CAST(SUM(f_lang * f_q * f_rep * f_keep * f_dec) AS BIGINT) FROM flags
+              UNION ALL SELECT 's6_mix_sample', CAST(SUM(f_lang * f_q * f_rep * f_keep * f_dec * f_mix) AS BIGINT) FROM flags
+            ) ORDER BY stage
+        """,
+        "vocab_top_words": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
     }
 
 
@@ -2105,4 +2204,115 @@ def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("text", F.lit(pat)).alias("n_redacted"),
         F.md5(F.regexp_replace("text", pat, "[REDACTED]")).alias("redacted_md5"),
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation funnel: the full filter chain a
+    pretraining pipeline runs, with per-stage survivor counts —
+    language ID → quality score → repetition reject → exact-dedup
+    keeper → eval-set decontamination → deterministic source mixing.
+
+    ONE Spark job: every per-doc signal is computed in a single pass
+    (map-only Catalyst HOFs for lang/quality/repetition; one
+    digest-partitioned window for the dedup keeper; one broadcast
+    n-gram probe + per-doc groupBy for contamination; a broadcast
+    policy dim for mixing), then a 1-row aggregate of cumulative
+    conjunctions is unpivoted with stack(). No stage re-scans the
+    corpus, no driver-side loop over stages. At fixture scale the
+    exact-dedup stage is a no-op (the synthetic corpus has no exact
+    dups at sf0.01) — the operator itself is pinned with duplicates in
+    tests/test_training_ops.py."""
+    from txtlogparser_spark.functions.text import (
+        duplicate_word_fraction,
+        langid_heuristic,
+        quality_score,
+        top_bigram_fraction,
+    )
+    from txtlogparser_spark.operators.dedup import exact_dedup
+    from txtlogparser_spark.operators.decontaminate import eval_ngram_set
+    from txtlogparser_spark.operators.dedup import word_shingles
+    from txtlogparser_spark.operators.sampling import (
+        hash_bucket_hex,
+        rate_threshold_hex,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    srcs = [r[0] for r in d.select("source").distinct().collect()]
+    rates = {s: ((int(s[3:]) % 4) + 1) * 0.25 for s in srcs}
+    dim = spark.createDataFrame(
+        [(s, rate_threshold_hex(r)) for s, r in sorted(rates.items())],
+        "source string, _thr string",
+    )
+
+    ev = eval_ngram_set(d.where(F.col("doc_id") % 97 == 0), n=3)
+    dirty = (
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    flags = (
+        exact_dedup(d)
+        .join(dirty, "doc_id", "left")
+        .join(F.broadcast(dim), "source")
+        .select(
+            (langid_heuristic() != "und").cast("int").alias("f_lang"),
+            (quality_score() >= 0.9).cast("int").alias("f_q"),
+            (
+                (duplicate_word_fraction() <= 0.5)
+                & (top_bigram_fraction() <= 0.18)
+            ).cast("int").alias("f_rep"),
+            (~F.col("is_dup")).cast("int").alias("f_keep"),
+            (
+                (F.col("doc_id") % 97 != 0) & F.col("_hit").isNull()
+            ).cast("int").alias("f_dec"),
+            (hash_bucket_hex(F.col("doc_id"), "mix-v1") < F.col("_thr"))
+            .cast("int").alias("f_mix"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("f_lang").alias("s1"),
+        F.sum(F.col("f_lang") * F.col("f_q")).alias("s2"),
+        F.sum(F.col("f_lang") * F.col("f_q") * F.col("f_rep")).alias("s3"),
+        F.sum(
+            F.col("f_lang") * F.col("f_q") * F.col("f_rep") * F.col("f_keep")
+        ).alias("s4"),
+        F.sum(
+            F.col("f_lang") * F.col("f_q") * F.col("f_rep") * F.col("f_keep")
+            * F.col("f_dec")
+        ).alias("s5"),
+        F.sum(
+            F.col("f_lang") * F.col("f_q") * F.col("f_rep") * F.col("f_keep")
+            * F.col("f_dec") * F.col("f_mix")
+        ).alias("s6"),
+    )
+    return agg.selectExpr(
+        """stack(7,
+          's0_total', CAST(s0 AS BIGINT),
+          's1_langid', CAST(s1 AS BIGINT),
+          's2_quality', CAST(s2 AS BIGINT),
+          's3_repetition', CAST(s3 AS BIGINT),
+          's4_exact_dedup', CAST(s4 AS BIGINT),
+          's5_decontaminate', CAST(s5 AS BIGINT),
+          's6_mix_sample', CAST(s6 AS BIGINT)) AS (stage, n_docs)"""
+    ).orderBy("stage")
+
+
+def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report: total/distinct token counts don't need
+    the full histogram — but the top-20 words with counts do, and the
+    global top-k goes through TakeOrderedAndProject (per-partition
+    heaps + driver merge of 20 rows), never a global sort. One
+    map-side-combined groupBy on word."""
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
     )

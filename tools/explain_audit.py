@@ -54,6 +54,8 @@ AUDITED = [
     "pack_greedy",
     "repetition_stats",
     "token_length_stats",
+    "corpus_funnel",
+    "vocab_top_words",
 ]
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")
