@@ -68,9 +68,39 @@ def plan_text(df, mode: str) -> str:
     return buf.getvalue()
 
 
+def single_partition_counts(df) -> tuple:
+    """(killer, benign) SinglePartition exchanges, from the SIMPLE-mode
+    plan where `Exchange SinglePartition` appears inline. (The formatted
+    mode prints `Exchange (n)` with the arguments on a separate
+    `Arguments: SinglePartition, ...` line — a regex over formatted text
+    silently counts 0, which is how an earlier version of this audit
+    under-reported; fixed round 3.)
+
+    killer = a full-table one-task funnel (rows flow through one task) —
+    the 100-TB scale-killer; must be 0 (global indices use partitioned
+    windows + broadcast offsets instead, operators/windowing.py).
+    benign = the final exchange of a SCALAR aggregate (child is a
+    partial HashAggregate/SortAggregate with no keys): it carries one
+    pre-aggregated row per upstream partition, bounded by the partition
+    count, which is how any global count/sum executes."""
+    text = plan_text(df, "simple")
+    lines = text.splitlines()
+    killer = benign = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if re.search(r"Aggregate\(key(s)?=\[\], functions=\[partial_", nxt):
+            benign += 1
+        else:
+            killer += 1
+    return killer, benign
+
+
 def audit(df) -> dict:
     text = plan_text(df, "formatted")
     codegen = plan_text(df, "codegen")  # "Found N WholeStageCodegen subtrees"
+    killer, benign = single_partition_counts(df)
     return {
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", text)),
         "read_schemas": re.findall(r"ReadSchema: (struct<[^\n]*)", text),
@@ -81,10 +111,8 @@ def audit(df) -> dict:
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
         "python_stages": [s for s in PY_STAGES if s in text],
         "exchanges": len(re.findall(r"\bExchange\b", text)),
-        # full-table funnel through one task — the 100-TB scale-killer;
-        # must be 0 everywhere (global indices use partitioned windows +
-        # broadcast offsets instead, operators/windowing.py)
-        "single_partition": len(re.findall(r"Exchange SinglePartition", text)),
+        "single_partition": killer,
+        "scalar_agg_funnels": benign,
     }
 
 
@@ -112,29 +140,45 @@ def main():
         "scan, columns prune, execution stays in whole-stage codegen, dimension",
         "joins broadcast, and Python appears only in the operators that need it.",
         "",
-        "| query | pushed filters | pruned read schemas | codegen spans | bcast/smj joins | exchanges | 1-part exch | python stages |",
+        "| query | pushed filters | pruned read schemas | codegen spans | bcast/smj joins | exchanges | 1-part exch (killer/scalar-agg) | python stages |",
         "|---|---|---|---|---|---|---|---|",
     ]
     bad_single = []
+    scalar_agg = []
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
         a = audit(df)
         schemas = "; ".join(s[:60] for s in a["read_schemas"][:3]) or "-"
         if a["single_partition"]:
             bad_single.append(name)
+        if a["scalar_agg_funnels"]:
+            scalar_agg.append(name)
         lines.append(
             f"| {name} | {a['pushed_filters']} | `{schemas}` | "
             f"{a['codegen_spans']} | {a['broadcast_joins']}/{a['sort_merge_joins']} | "
-            f"{a['exchanges']} | {a['single_partition']} | "
+            f"{a['exchanges']} | {a['single_partition']}/{a['scalar_agg_funnels']} | "
             f"{', '.join(a['python_stages']) or '-'} |"
         )
         print(lines[-1])
     lines.append("")
     lines.append(
-        f"`Exchange SinglePartition` count (full-table one-task funnel): "
+        f"Full-table one-task `Exchange SinglePartition` (the 100-TB "
+        f"scale-killer): "
         + ("**0 in every audited query**." if not bad_single else f"PRESENT in {bad_single} — fix before scale-up.")
     )
-    print(lines[-1])
+    lines.append(
+        "Scalar-aggregate funnels (final exchange of a keyless aggregate; "
+        "carries one partial row per partition — how any global count "
+        "executes, fine at any scale): " + str(sorted(scalar_agg) or "none")
+    )
+    lines.append(
+        "Counted from the simple-mode plan; an earlier audit version "
+        "grepped `Exchange SinglePartition` in FORMATTED text, where the "
+        "arguments sit on a separate line — that regex matches nothing "
+        "and silently reported 0 (fixed round 3; the two-bucket split "
+        "above re-established the evidence)."
+    )
+    print(lines[-3]); print(lines[-2])
 
     lines += [
         "",

@@ -30,9 +30,21 @@ def content_fingerprint(col: str = "text") -> Column:
 
 
 def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Tag each row with its group keeper (min key per content digest)."""
-    w = Window.partitionBy(content_fingerprint(text_col))
-    return df.withColumn("keeper_id", F.min(key).over(w)).withColumn(
+    """Tag each row with its group keeper (min key per content digest).
+
+    The keeper is computed on a PRUNED (key, digest) projection and
+    joined back on the key, so the digest shuffle moves two columns —
+    never the wide row. (Windowing the full df over the digest would
+    shuffle the entire text column; with the caller's usual key
+    partitioning — _docs_part — the join-back adds no big-side
+    exchange either.)"""
+    w = Window.partitionBy("_dig")
+    keeper = (
+        df.select(key, content_fingerprint(text_col).alias("_dig"))
+        .withColumn("keeper_id", F.min(key).over(w))
+        .select(key, "keeper_id")
+    )
+    return df.join(keeper, key).withColumn(
         "is_dup", F.col(key) != F.col("keeper_id")
     )
 
