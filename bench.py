@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "tpch_pricing_summary",
     "events_hourly",
+    "corpus_funnel",
 ]
 
 

@@ -57,6 +57,9 @@ AUDITED = [
     "corpus_funnel",
     "vocab_top_words",
 ]
+# The curated list above orders the interesting plans first; every other
+# registered driver query is appended at runtime so the audit covers the
+# full surface (main() extends AUDITED with the missing keys).
 
 PY_STAGES = ("ArrowEvalPython", "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas")
 
@@ -133,6 +136,7 @@ def main():
     import __spark_entry__ as m
 
     qs = m.queries()
+    AUDITED.extend(k for k in qs if k not in AUDITED)
     lines = [
         "# Physical-plan audit (tools/explain_audit.py)",
         "",
