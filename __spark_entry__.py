@@ -858,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_terms": q_redact_terms,
         "corpus_funnel": q_corpus_funnel,
         "vocab_top_words": q_vocab_top_words,
+        "pack_assemble": q_pack_assemble,
+        "source_skew_report": q_source_skew_report,
     }
 
 
@@ -1884,6 +1886,55 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
+        # pack_assemble: replay the slice arithmetic; list(part ORDER BY
+        # off) reproduces the struct-sort determinism
+        "pack_assemble": """
+            WITH d AS (
+              SELECT source, doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, toks, n,
+                SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+              FROM d
+            ), m AS (
+              SELECT source, doc_id, toks, n, e - n AS tok_start,
+                (e - n) // 128 AS fc, (e - 1) // 128 AS lc
+              FROM c
+            ), spans AS (
+              SELECT source, doc_id, tok_start, toks, n,
+                unnest(range(CAST(fc AS BIGINT), CAST(lc + 1 AS BIGINT))) AS chunk_id
+              FROM m
+            ), pieces AS (
+              SELECT source, chunk_id, off,
+                toks[(off - tok_start + 1) :
+                     (off - tok_start
+                      + least((chunk_id + 1) * 128 - off, n - (off - tok_start)))]
+                  AS part
+              FROM (
+                SELECT *, greatest(chunk_id * 128, tok_start) AS off FROM spans)
+            ), agg AS (
+              SELECT source, chunk_id,
+                flatten(list(part ORDER BY off)) AS tokens,
+                COUNT(*) AS n_pieces
+              FROM pieces GROUP BY source, chunk_id
+            )
+            SELECT source, chunk_id,
+              CAST(n_pieces AS INT) AS n_pieces,
+              CAST(len(tokens) AS INT) AS n_tok,
+              md5(array_to_string(tokens, ' ')) AS tokens_md5
+            FROM agg ORDER BY source, chunk_id
+        """,
+        "source_skew_report": """
+            WITH t AS (SELECT COUNT(*) AS total FROM documents),
+            c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              ROUND(n_docs * 1.0 / total, 6) AS share,
+              (n_docs * 1.0 / total > 0.10) AS is_hot,
+              CAST(greatest(1, ceil(n_docs * 20.0 / total)) AS BIGINT) AS salt_factor
+            FROM c CROSS JOIN t ORDER BY source
+        """,
     }
 
 
@@ -2315,4 +2366,53 @@ def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(20)
+    )
+
+
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing (operators/packing.py::
+    assemble_chunks): the actual fixed-capacity training sequences,
+    assembled from per-doc token slices. Docs explode one row per
+    SPANNED chunk (1-2 rows, never per token); the shuffle key is
+    (source, chunk_id) whose payload is bounded by the capacity — no
+    skew by construction; ordering inside a chunk comes from
+    sort_array on (offset, slice) structs, not a window. Chunk content
+    verified by md5 of the joined token stream."""
+    from txtlogparser_spark.operators.packing import assemble_chunks
+
+    d = _docs_part(spark, sf_dir).select(
+        "source", "doc_id", F.split("text", " ").alias("tokens")
+    )
+    out = assemble_chunks(d, capacity=128, bucket_width=64)
+    return out.select(
+        "source",
+        "chunk_id",
+        "n_pieces",
+        "n_tok",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    ).orderBy("source", "chunk_id")
+
+
+def q_source_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: per-source row share + the salt factor the
+    pipeline's salted repartition would apply (north_star: 'salted
+    repartitioning to defuse hot-source skew'). One map-side-combined
+    groupBy + a broadcast 1-row total — the report a 100-TB operator
+    consults before choosing its partitioning."""
+    d = _docs_part(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+            (F.col("n_docs") / F.col("_total") > 0.10).alias("is_hot"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_docs") * 20 / F.col("_total")),
+            ).cast("long").alias("salt_factor"),
+        )
+        .orderBy("source")
     )

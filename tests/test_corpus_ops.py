@@ -210,3 +210,40 @@ class TestPacking:
             fill += r["n_tok"]
             assert r["bin_fill_after"] == fill
             assert fill <= 128 or r["pos_in_bin"] == 0  # overflow only for solo docs
+
+    def test_assemble_chunks_reconstructs_stream(self, spark):
+        from txtlogparser_spark.operators.packing import assemble_chunks
+
+        lens = {"s0": [60, 50, 30, 100, 10], "s1": [120, 5]}
+        rows = []
+        did = 0
+        for src, ls in lens.items():
+            for L in ls:
+                rows.append((src, did, [f"d{did}_{i}" for i in range(L)]))
+                did += 1
+        df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<string>")
+        out = assemble_chunks(df, capacity=100).collect()
+        by_src = {}
+        for r in sorted(out, key=lambda r: (r["source"], r["chunk_id"])):
+            assert r["n_tok"] == len(r["tokens"])
+            by_src.setdefault(r["source"], []).append(r)
+        for src, ls in lens.items():
+            chunks = by_src[src]
+            # chunk ids dense from 0; all but last exactly at capacity
+            assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+            for c in chunks[:-1]:
+                assert c["n_tok"] == 100
+            # concatenation reproduces the doc stream exactly
+            stream = [t for r in sorted(rows, key=lambda x: x[1]) if r[0] == src
+                      for t in r[2]] if False else None
+            expect = []
+            for s2, d2, toks in sorted(rows, key=lambda x: x[1]):
+                if s2 == src:
+                    expect.extend(toks)
+            got = [t for c in chunks for t in c["tokens"]]
+            assert got == expect
+        # the straddling doc (doc 1: tokens 60..109 of s0) splits 40/10
+        s0 = by_src["s0"]
+        assert s0[0]["n_pieces"] == 2  # doc0 (60) + first 40 of doc1
+        assert s0[0]["tokens"][60] == "d1_0"
+        assert s0[1]["tokens"][0] == "d1_40"

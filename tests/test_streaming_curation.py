@@ -1,0 +1,75 @@
+"""Streaming/batch parity for the corpus-curation stages.
+
+The map-only curation signals (language ID, quality, repetition,
+deterministic hash sampling) are stateless Catalyst expressions, so the
+same pipeline must run unchanged as a Structured Streaming job over a
+document stream — the incremental-ingest path of a training-data
+pipeline (new crawl shards arrive, get scored/filtered on arrival).
+This pins that: an availableNow file stream through the curation select
+produces exactly the batch result."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _curate(df):
+    from txtlogparser_spark.functions.text import (
+        duplicate_word_fraction,
+        langid_heuristic,
+        quality_score,
+        top_bigram_fraction,
+    )
+    from txtlogparser_spark.operators.sampling import hash_bucket_hex, rate_threshold_hex
+
+    return df.select(
+        "doc_id",
+        "source",
+        langid_heuristic().alias("pred_lang"),
+        quality_score().alias("quality"),
+        duplicate_word_fraction().alias("dup_word_frac"),
+        top_bigram_fraction().alias("top_bigram_frac"),
+    ).where(
+        (F.col("pred_lang") != "und")
+        & (hash_bucket_hex(F.col("doc_id"), "mix-v1") < F.lit(rate_threshold_hex(0.5)))
+    )
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("curation_docs"))
+    rows = [
+        (
+            i,
+            " ".join(
+                ["the quick fox", "el perro come", "le chat dort", "word " * 3][i % 4]
+                .split()
+            )
+            + f" tail{i} " + " ".join(f"w{j}" for j in range(i % 7)),
+            f"src{i % 3}",
+        )
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_curation_matches_batch(spark, doc_dir, tmp_path):
+    batch = sorted(map(tuple, _curate(spark.read.parquet(doc_dir)).collect()))
+    assert batch, "curation must keep some rows for the parity to mean anything"
+    n_all = spark.read.parquet(doc_dir).count()
+    assert len(batch) < n_all, "curation must also drop rows"
+
+    schema = spark.read.parquet(doc_dir).schema
+    stream = spark.readStream.schema(schema).parquet(doc_dir)
+    q = (
+        _curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from curated_stream").collect()))
+    assert got == batch

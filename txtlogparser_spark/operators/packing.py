@@ -102,6 +102,77 @@ def chunk_pack(
     )
 
 
+def assemble_chunks(
+    df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    part_col: str = "source",
+    capacity: int = 2048,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Materialize the packed training sequences: for each (source,
+    chunk) emit the actual token array, assembled from every doc slice
+    that lands in that chunk (concat-then-chunk discipline; docs may
+    straddle chunk cuts).
+
+    Scale shape: the manifest (chunk_pack) assigns each doc its chunk
+    SPAN; a doc then explodes into one row PER SPANNED CHUNK (almost
+    always 1-2 — never per token), carrying only the slice of its token
+    array that falls inside that chunk. The shuffle is a groupBy on
+    (source, chunk_id) whose payload is exactly one chunk's tokens —
+    `capacity` per group by construction, so no skew and no hot key.
+    The final per-chunk ordering uses the slice's stream offset;
+    sort_array on (offset, slice) structs keeps it deterministic
+    without a window. Per-token shuffles never happen; Python never
+    runs."""
+    lens = df.select(
+        part_col, key, F.size(F.col(tokens_col)).alias("_n_tok")
+    )
+    manifest = chunk_pack(
+        lens, key=key, len_col="_n_tok", part_col=part_col,
+        capacity=int(capacity), bucket_width=bucket_width,
+    )
+    cap = F.lit(int(capacity))
+    spans = manifest.join(
+        df.select(part_col, key, tokens_col), [part_col, key]
+    ).select(
+        part_col,
+        key,
+        "tok_start",
+        F.col(tokens_col).alias("_toks"),
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    )
+    # Slice of this doc's tokens that falls inside chunk_id:
+    # chunk covers [chunk_id*cap, (chunk_id+1)*cap); doc covers
+    # [tok_start, tok_start + n). element_at/slice are 1-based.
+    lo = F.greatest(F.col("chunk_id") * cap, F.col("tok_start"))
+    start_in_doc = (lo - F.col("tok_start") + 1).cast("int")
+    take = F.least(
+        (F.col("chunk_id") + 1) * cap - lo,
+        F.size("_toks") - (lo - F.col("tok_start")),
+    ).cast("int")
+    sliced = spans.select(
+        part_col,
+        "chunk_id",
+        F.struct(
+            lo.alias("off"), F.slice("_toks", start_in_doc, take).alias("part")
+        ).alias("_piece"),
+    )
+    return (
+        sliced.groupBy(part_col, "chunk_id")
+        .agg(F.sort_array(F.collect_list("_piece")).alias("_pieces"))
+        .select(
+            part_col,
+            "chunk_id",
+            F.flatten(F.transform("_pieces", lambda p: p["part"])).alias(
+                tokens_col
+            ),
+            F.size(F.col("_pieces")).alias("n_pieces"),
+        )
+        .withColumn("n_tok", F.size(F.col(tokens_col)))
+    )
+
+
 def greedy_pack(
     df: DataFrame,
     key: str = "doc_id",
