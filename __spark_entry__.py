@@ -860,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_words": q_vocab_top_words,
         "pack_assemble": q_pack_assemble,
         "source_skew_report": q_source_skew_report,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "dedup_incremental_probe": q_dedup_incremental_probe,
     }
 
 
@@ -1935,6 +1937,86 @@ def oracle_sql() -> dict[str, str]:
               CAST(greatest(1, ceil(n_docs * 20.0 / total)) AS BIGINT) AS salt_factor
             FROM c CROSS JOIN t ORDER BY source
         """,
+        # heavy_hitters_cms: the 4x512 sketch cells and the min-over-rows
+        # point queries replayed with the same md5 cell hashing
+        "heavy_hitters_cms": """
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS item FROM documents
+            ),
+            cells AS (
+              SELECT d,
+                CAST(('0x' || substr(md5(d || ':' || item), 1, 8)) AS BIGINT) % 512 AS c,
+                COUNT(*) AS cnt
+              FROM words, unnest(range(0, 4)) AS t(d)
+              GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT item, COUNT(*) AS true_n FROM words
+              GROUP BY item ORDER BY true_n DESC, item ASC LIMIT 20
+            ),
+            est AS (
+              SELECT t.item, MIN(cells.cnt) AS est_n
+              FROM top t
+              CROSS JOIN unnest(range(0, 4)) AS r(d)
+              JOIN cells ON cells.d = r.d
+                AND cells.c = CAST(('0x' || substr(md5(r.d || ':' || t.item), 1, 8)) AS BIGINT) % 512
+              GROUP BY 1
+            )
+            SELECT t.item AS word, CAST(t.true_n AS BIGINT) AS true_n,
+              CAST(e.est_n AS BIGINT) AS est_n
+            FROM top t JOIN est e USING (item)
+            ORDER BY true_n DESC, word ASC
+        """,
+        # dedup_incremental_probe: same minhash/band replay as the batch
+        # jaccard oracle, with the candidate join restricted to
+        # (odd = new shard) x (even = prebuilt index) pairs
+        "dedup_incremental_probe": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            ),
+            cands AS (
+              SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+              FROM banded n JOIN banded i
+                ON n.b = i.b AND n.bkey = i.bkey
+              WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT c.new_id, c.index_id, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.new_id
+              JOIN sh b ON b.doc_id = c.index_id AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT p.new_id, p.index_id,
+              ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jacc
+            FROM pairs p
+            JOIN cnt ca ON ca.doc_id = p.new_id
+            JOIN cnt cb ON cb.doc_id = p.index_id
+            WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.3
+            ORDER BY new_id, index_id
+        """,
     }
 
 
@@ -2416,3 +2498,66 @@ def q_source_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py): build a
+    4x512 CM sketch over the corpus word stream (shuffle bounded by the
+    sketch size — map-side combine into <= depth*width cells per task,
+    immune to key skew and open vocabularies), then point-query the
+    true top-20 words against it. est_n >= true_n always; the md5 cell
+    hashing is engine-portable so DuckDB replays the sketch VALUES.
+    The exact top-20 here doubles as the ground truth the estimates
+    are checked against."""
+    from txtlogparser_spark.operators.sketches import cms_build, cms_estimate
+
+    d = _docs_part(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("item"))
+    sketch = cms_build(words, depth=4, width=512)
+    top = (
+        words.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("item").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("item"), depth=4, width=512)
+    return (
+        top.join(est, "item")
+        .select(
+            F.col("item").alias("word"),
+            "true_n",
+            "est_n",
+        )
+        .orderBy(F.col("true_n").desc(), F.col("word").asc())
+    )
+
+
+def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.py::probe_lsh_index): even
+    doc_ids play the ALREADY-INDEXED corpus (band_table persisted at
+    scale, bucketed by band key), odd doc_ids the newly-arrived shard.
+    Only the shard is shingled/signed; the history costs one equi-join
+    on (band, bkey). Candidates then go through the same
+    candidate-restricted Jaccard verify as the batch chain (threshold
+    0.3 — the report stage; the drop stage applies policy on top)."""
+    from txtlogparser_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        probe_lsh_index,
+        shingle_table,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    idx_docs = d.where(F.col("doc_id") % 2 == 0)
+    new_docs = d.where(F.col("doc_id") % 2 == 1)
+    index = band_table(minhash_signatures(shingle_table(idx_docs)))
+    cands = probe_lsh_index(index, new_docs).select(
+        F.col("new_id").alias("doc_a"), F.col("index_id").alias("doc_b")
+    )
+    verified = ngram_jaccard_pairs(d, threshold=0.3, candidates=cands)
+    return verified.select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("index_id"),
+        "jacc",
+    ).orderBy("new_id", "index_id")

@@ -247,3 +247,75 @@ class TestPacking:
         assert s0[0]["n_pieces"] == 2  # doc0 (60) + first 40 of doc1
         assert s0[0]["tokens"][60] == "d1_0"
         assert s0[1]["tokens"][0] == "d1_40"
+
+
+class TestCountMin:
+    def test_estimate_upper_bounds_and_merge(self, spark):
+        from txtlogparser_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        rows = [(w,) for w in
+                ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + [f"rare{i}" for i in range(30)]]
+        df = spark.createDataFrame(rows, ["item"])
+        sk = cms_build(df, depth=4, width=64)
+        est = {
+            r["item"]: r["est_n"]
+            for r in cms_estimate(sk, df.select("item").distinct(), depth=4, width=64).collect()
+        }
+        true = {"a": 50, "b": 20, "c": 5}
+        for w, t in true.items():
+            assert est[w] >= t  # CMS never underestimates
+        # with 105 items in 4x64 cells the heavy keys are near-exact
+        assert est["a"] <= 50 + 35
+        # mergeability: sketch(x) + sketch(y) == sketch(x union y)
+        half1 = spark.createDataFrame(rows[:50], ["item"])
+        half2 = spark.createDataFrame(rows[50:], ["item"])
+        merged = cms_merge(
+            cms_build(half1, depth=4, width=64), cms_build(half2, depth=4, width=64)
+        )
+        whole = cms_build(df, depth=4, width=64)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    def test_sketch_size_bounded(self, spark):
+        from txtlogparser_spark.operators.sketches import cms_build
+
+        df = spark.range(5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("item")
+        )
+        sk = cms_build(df, depth=3, width=32)
+        assert sk.count() <= 3 * 32  # cells, not keys
+
+
+class TestIncrementalProbe:
+    def test_probe_finds_cross_shard_dups(self, spark):
+        from txtlogparser_spark.operators.dedup import (
+            band_table,
+            minhash_signatures,
+            probe_lsh_index,
+            shingle_table,
+        )
+
+        base = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different content about spark query optimization today"),
+            (4, "one two three four five six seven eight nine ten eleven twelve"),
+            # new shard: 1 = exact dup of 0, 3 = near-dup of 0, 5 = novel
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (5, "totally novel text with no overlap whatsoever in any shingle here"),
+        ]
+        docs = spark.createDataFrame(base, ["doc_id", "text"])
+        idx = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        index = band_table(minhash_signatures(shingle_table(idx)))
+        got = {
+            (r["new_id"], r["index_id"])
+            for r in probe_lsh_index(index, new).collect()
+        }
+        assert (1, 0) in got  # exact dup always collides
+        assert not any(n == 5 for n, _ in got)  # novel doc stays clean
+        # index side was never compared against itself
+        assert all(n % 2 == 1 and i % 2 == 0 for n, i in got)

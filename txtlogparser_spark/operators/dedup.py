@@ -101,14 +101,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame,
     key: str = "doc_id",
     num_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band are
-    candidates. Output distinct (doc_a < doc_b) pairs."""
+    """(key, band, bkey) rows — the persistable LSH INDEX of a corpus.
+    At scale this is what gets written out (bucketed by (band, bkey))
+    once per corpus snapshot, so later shards probe it with an equi-join
+    instead of re-signing the whole history."""
     nbands = num_hashes // band_size
     bands = F.explode(
         F.transform(
@@ -123,9 +125,54 @@ def lsh_candidate_pairs(
             ),
         )
     ).alias("bd")
-    banded = signatures.select(key, bands).select(
+    return signatures.select(key, bands).select(
         key, F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey")
-    ).persist()
+    )
+
+
+def probe_lsh_index(
+    index_bands: DataFrame,
+    new_docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Incremental dedup: candidate (new_id, index_id) pairs of a NEW
+    shard against a prebuilt corpus index (band_table output). Only the
+    new shard is shingled/signed — the history costs one equi-join on
+    (band, bkey). This is the arriving-shard path of a continuously
+    ingesting pipeline; follow with the candidate-restricted Jaccard
+    verify exactly like the batch chain."""
+    nb = band_table(
+        minhash_signatures(
+            shingle_table(new_docs, key, text_col), key, num_hashes
+        ),
+        key,
+        num_hashes,
+        band_size,
+    )
+    return (
+        nb.alias("n")
+        .join(index_bands.alias("i"), ["band", "bkey"])
+        .where(F.col(f"n.{key}") != F.col(f"i.{key}"))
+        .select(
+            F.col(f"n.{key}").alias("new_id"),
+            F.col(f"i.{key}").alias("index_id"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidates. Output distinct (doc_a < doc_b) pairs."""
+    banded = band_table(signatures, key, num_hashes, band_size).persist()
     # ^ the self-join consumes `banded` twice, and when one side is
     # broadcast there is no exchange to reuse — without persist the whole
     # signature lineage (shingle explode × K seeds + two groupBys, the
