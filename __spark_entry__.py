@@ -862,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_skew_report": q_source_skew_report,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "dedup_incremental_probe": q_dedup_incremental_probe,
+        "quota_sample": q_quota_sample,
     }
 
 
@@ -2017,6 +2018,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.3
             ORDER BY new_id, index_id
         """,
+        "quota_sample": """
+            WITH ranked AS (
+              SELECT source, doc_id,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY '0' || substr(md5('quota-v1:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                           doc_id) AS qr
+              FROM documents
+            )
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(MIN(doc_id) AS BIGINT) AS min_id,
+              CAST(MAX(doc_id) AS BIGINT) AS max_id
+            FROM ranked WHERE qr <= 10
+            GROUP BY source ORDER BY source
+        """,
     }
 
 
@@ -2561,3 +2579,26 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("index_id"),
         "jacc",
     ).orderBy("new_id", "index_id")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sampling (operators/sampling.py::quota_sample): 10
+    docs per source, chosen by md5-hash order — uniform without
+    replacement, reproducible across runs/partitionings/cluster sizes.
+    One per-group window; the oracle replays the identical hash
+    ranking. Output is the per-source sampled id-set digest (count +
+    id-sum + min/max) so the driver verifies the SET, not a shape."""
+    from txtlogparser_spark.operators.sampling import quota_sample
+
+    d = _docs_part(spark, sf_dir)
+    s = quota_sample(d, 10)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("source")
+    )

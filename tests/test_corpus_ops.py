@@ -319,3 +319,17 @@ class TestIncrementalProbe:
         assert not any(n == 5 for n, _ in got)  # novel doc stays clean
         # index side was never compared against itself
         assert all(n % 2 == 1 and i % 2 == 0 for n, i in got)
+
+
+class TestQuotaSample:
+    def test_exact_quota_and_determinism(self, spark):
+        from txtlogparser_spark.operators.sampling import quota_sample
+
+        rows = [(i, f"s{i % 3}") for i in range(300)] + [(1000, "tiny")]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = quota_sample(df, 7).groupBy("source").count().collect()
+        counts = {r["source"]: r["count"] for r in got}
+        assert counts == {"s0": 7, "s1": 7, "s2": 7, "tiny": 1}
+        a = {r["doc_id"] for r in quota_sample(df, 7).collect()}
+        b = {r["doc_id"] for r in quota_sample(df.repartition(13), 7).collect()}
+        assert a == b

@@ -81,6 +81,35 @@ def hash_sample(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    n_per_group: int,
+    key: str = "doc_id",
+    part_col: str = "source",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Keep exactly min(N, group size) rows per group, chosen uniformly
+    without replacement and deterministically: rank rows inside each
+    group by their content hash (a random-but-reproducible order) and
+    keep the first N. The fixed-quota counterpart of rate-based
+    hash_sample — training mixes are usually specified as 'X docs from
+    each source', not a rate.
+
+    Scale shape: one partitioned window (per-group, never global); the
+    hash order makes the choice independent of physical row order, so
+    re-runs and different cluster sizes pick the SAME rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(
+        hash_bucket_hex(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .where(F.col("_qr") <= int(n_per_group))
+        .drop("_qr")
+    )
+
+
 def train_eval_split(
     df: DataFrame,
     eval_frac: float,
