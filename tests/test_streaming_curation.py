@@ -73,3 +73,61 @@ def test_stream_curation_matches_batch(spark, doc_dir, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from curated_stream").collect()))
     assert got == batch
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Cross-batch state: a digest seen in run 1 must NOT re-emit when
+    more files arrive and the query resumes from its checkpoint; fresh
+    digests still pass; digest set == batch dedup's."""
+    from txtlogparser_spark.streaming.stateful import dedup_stream
+
+    src_dir = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+
+    def run_once():
+        q = (
+            dedup_stream(spark.readStream.schema(schema).parquet(src_dir))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["digest"]: r["keeper_doc_id"]
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    got1 = run_once()
+    assert len(got1) == 2  # alpha-beta emitted once, keeper = min(0, 2)
+    assert set(got1.values()) == {0, 1}
+
+    # new files: one repeat digest (must stay silent), one new; the
+    # resumed query recovers seen-digest state from the checkpoint
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta"), (4, "epsilon zeta")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    got2 = run_once()
+    assert len(got2) == 3
+    new_emits = {d: k for d, k in got2.items() if d not in got1}
+    assert set(new_emits.values()) == {4}  # only the fresh digest emitted
+
+    # digest SET parity with the batch operator over the full input
+    full = spark.read.parquet(src_dir)
+    batch_digests = {
+        r["d"] for r in full.select(F.md5("text").alias("d")).distinct().collect()
+    }
+    assert set(got2) == batch_digests

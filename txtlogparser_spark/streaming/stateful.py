@@ -324,3 +324,55 @@ def sessionize_tws(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches: emit each content
+    digest ONCE, the first time it is seen, with the smallest key of
+    that first batch as the keeper. The ingest-side half of the dedup
+    family (operators/dedup.py::exact_dedup is the batch/backfill half):
+    as crawl shards stream in, only never-before-seen documents pass.
+
+    State = one empty marker row per seen digest, keyed by the digest —
+    the same bounded-per-key shape as the sessionizers; at 10^12 scale
+    the digest space IS the distinct-document count, so production runs
+    point this at the RocksDB state store and/or put a TTL policy on
+    dormant digests (both Spark-config-level knobs, not plan changes).
+
+    Semantics delta vs batch exact_dedup, by design: the batch keeper is
+    the GLOBAL min key per digest; the streaming keeper is the min key
+    of the digest's FIRST micro-batch (later batches cannot retract an
+    already-emitted row in append mode). Digest SETS are identical —
+    pinned by tests/test_streaming_curation.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"digest string, keeper_{key} long"
+    state_schema = "seen int"
+
+    def fn(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            return
+        best = None
+        for pdf in pdf_iter:
+            m = pdf[key].min()
+            best = m if best is None else min(best, m)
+        state.update((1,))
+        import pandas as pd
+
+        yield pd.DataFrame({"digest": [key_[0]], f"keeper_{key}": [int(best)]})
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("digest"), F.col(key).cast("long").alias(key)
+    ).groupBy("digest")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
