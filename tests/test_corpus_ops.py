@@ -333,3 +333,36 @@ class TestQuotaSample:
         a = {r["doc_id"] for r in quota_sample(df, 7).collect()}
         b = {r["doc_id"] for r in quota_sample(df.repartition(13), 7).collect()}
         assert a == b
+
+
+class TestCompaction:
+    def test_write_compacted_reduces_files_and_sorts(self, spark, tmp_path):
+        from txtlogparser_spark.sources.compact import write_compacted
+        import glob
+
+        # 64 slivers of one logical dataset — the small-file spray shape
+        df = (
+            spark.range(20000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 3)))
+            .repartition(64)
+        )
+        naive = str(tmp_path / "naive")
+        df.write.partitionBy("source").parquet(naive)
+        n_naive = len(glob.glob(f"{naive}/source=*/*.parquet"))
+
+        compacted = str(tmp_path / "compacted")
+        write_compacted(
+            df, compacted, partition_by=["source"], sort_within=["doc_id"]
+        )
+        files = glob.glob(f"{compacted}/source=*/*.parquet")
+        assert len(files) < n_naive / 4  # rebalance collapsed the spray
+        # content identical
+        a = sorted(r["doc_id"] for r in spark.read.parquet(compacted).collect())
+        assert a == list(range(20000))
+        # per-file sortedness => selective row-group min/max stats
+        import pyarrow.parquet as pq
+
+        for f in files[:4]:
+            col = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert col == sorted(col)
