@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output dir for sinks + metrics")
     ap.add_argument("--workspace", default=None, help="workspace config JSON (default: fixture workspace)")
     ap.add_argument("--no-search", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="AQE-rebalanced, sorted sink files (sources/compact.py)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +62,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     routed = pipe.run(seqs, with_search=not args.no_search)
-    pipe.write_sinks(routed, args.out)
+    pipe.write_sinks(routed, args.out, compact=args.compact)
     sink = spark.read.parquet(os.path.join(args.out, "routed"))
     n = sink.count()
     fc = pipe.filter_counts(sink)

@@ -341,9 +341,28 @@ class LogPipeline:
         was written with with_text=False."""
         return df.withColumn("text", self._detok(F.col("tokens")))
 
-    def write_sinks(self, routed: DataFrame, out_dir: str) -> None:
+    def write_sinks(
+        self, routed: DataFrame, out_dir: str, compact: bool = False
+    ) -> None:
         """Fan-out: ONE pass writes every route's sink via partitioned write
-        (no per-filter re-scan); per-row invariant columns ride along."""
+        (no per-filter re-scan); per-row invariant columns ride along.
+
+        compact=True routes the write through sources/compact.py
+        (AQE REBALANCE keyed by the sink partitions + doc_id
+        sortWithinPartitions): at production partition counts the plain
+        write sprays one file per task per (route, source) — compaction
+        collapses that to advisory-sized files with selective row-group
+        stats, at the cost of one extra exchange."""
+        if compact:
+            from txtlogparser_spark.sources.compact import write_compacted
+
+            write_compacted(
+                routed,
+                f"{out_dir}/routed",
+                partition_by=["route", "source"],
+                sort_within=["doc_id"],
+            )
+            return
         (
             routed.write.mode("overwrite")
             .partitionBy("route", "source")
