@@ -131,3 +131,30 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         r["d"] for r in full.select(F.md5("text").alias("d")).distinct().collect()
     }
     assert set(got2) == batch_digests
+
+
+def test_stream_cms_matches_batch(spark, tmp_path):
+    """The count-min sketch is ONE streaming-native aggregate: running
+    cms_build over a file stream in complete mode yields cell-for-cell
+    the batch sketch — the continuously-maintained corpus statistic."""
+    from txtlogparser_spark.operators.sketches import cms_build
+
+    src = str(tmp_path / "words_in")
+    rows = [(w,) for w in ["a"] * 30 + ["b"] * 10 + [f"r{i}" for i in range(25)]]
+    spark.createDataFrame(rows, ["item"]).coalesce(2).write.parquet(src)
+
+    batch = sorted(
+        map(tuple, cms_build(spark.read.parquet(src), depth=3, width=32).collect())
+    )
+    stream = spark.readStream.schema("item string").parquet(src)
+    q = (
+        cms_build(stream, depth=3, width=32)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from cms_stream").collect()))
+    assert got == batch
