@@ -863,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "dedup_incremental_probe": q_dedup_incremental_probe,
         "quota_sample": q_quota_sample,
+        "data_quality_checks": q_data_quality_checks,
     }
 
 
@@ -2035,6 +2036,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE qr <= 10
             GROUP BY source ORDER BY source
         """,
+        "data_quality_checks": """
+            WITH v AS (
+              SELECT 'not_null(doc_id)' AS "check",
+                CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+              FROM documents
+              UNION ALL
+              SELECT 'unique(doc_id)',
+                CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+              UNION ALL
+              SELECT 'not_null(text)',
+                CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'in_range(n_chars,1,100000)',
+                CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 0 ELSE 1 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'accepted_values(lang)',
+                CAST(SUM(CASE WHEN lang IN ('en','es','fr','de') THEN 0 ELSE 1 END) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'matches_regex(source)',
+                CAST(SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 0 ELSE 1 END) AS BIGINT)
+              FROM documents
+            )
+            SELECT "check", violations, violations = 0 AS passed
+            FROM v ORDER BY "check"
+        """,
     }
 
 
@@ -2602,3 +2631,32 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style pre-training data gate (operators/quality_checks.py):
+    the whole constraint suite compiles into ONE map-side-combined
+    aggregate pass — key integrity (doc_id not-null + unique), range
+    sanity (n_chars), source-name shape (regex), and a language
+    vocabulary check that DELIBERATELY excludes 'zh' so the report
+    demonstrates quantified failure (75 violations at sf0.01), not just
+    green checkmarks."""
+    from txtlogparser_spark.operators.quality_checks import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    d = _docs(spark, sf_dir)
+    checks = [
+        not_null("doc_id"),
+        unique("doc_id"),
+        not_null("text"),
+        in_range("n_chars", 1, 100000),
+        accepted_values("lang", ["en", "es", "fr", "de"]),
+        matches_regex("source", "^src[0-9]+$"),
+    ]
+    return run_checks(d, checks).orderBy("check")

@@ -366,3 +366,41 @@ class TestCompaction:
         for f in files[:4]:
             col = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
             assert col == sorted(col)
+
+
+class TestQualityChecks:
+    def test_checks_one_pass_and_counts(self, spark):
+        from txtlogparser_spark.operators.quality_checks import (
+            accepted_values,
+            in_range,
+            matches_regex,
+            not_null,
+            run_checks,
+            unique,
+        )
+
+        rows = [
+            (0, "x", "en"), (1, "y", "en"), (1, None, "xx"), (None, "z", "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {
+            r["check"]: (r["violations"], r["passed"])
+            for r in run_checks(
+                df,
+                [
+                    not_null("doc_id"),
+                    unique("doc_id"),
+                    not_null("text"),
+                    accepted_values("lang", ["en"]),
+                    in_range("doc_id", 0, 100),
+                    matches_regex("lang", "^[a-z]{2}$"),
+                ],
+            ).collect()
+        }
+        assert out["not_null(doc_id)"] == (1, False)
+        # count_distinct ignores nulls: 4 rows - 2 distinct non-null = 2
+        assert out["unique(doc_id)"] == (2, False)
+        assert out["not_null(text)"] == (1, False)
+        assert out["accepted_values(lang)"] == (1, False)
+        assert out["in_range(doc_id,0,100)"][1] is True or out["in_range(doc_id,0,100)"][0] == 0
+        assert out["matches_regex(lang)"] == (0, True)

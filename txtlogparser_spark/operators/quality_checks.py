@@ -1,0 +1,93 @@
+"""Declarative data-quality gates (Deequ-style, minimal core).
+
+A training pipeline validates a table BEFORE burning compute on it:
+key non-null/unique, values in range, categories in vocabulary, row
+counts sane. Each constraint here compiles to aggregate expressions so
+a whole check suite is ONE map-side-combined pass over the table — no
+per-check scans, no driver loops; the result is a small (check,
+violations, passed) report that a gate task can assert on.
+
+All constraints report `violations` (0 = clean) so failing checks
+quantify the damage, not just flag it.
+
+Reference parity: none (TxtLogParser trusts its input file); this is a
+training-pipeline extension, same family as the public Deequ /
+dbt-tests / Great Expectations constraint sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    violations: Column  # long aggregate: number of offending rows
+
+
+def not_null(col: str) -> Check:
+    return Check(
+        f"not_null({col})",
+        F.sum(F.col(col).isNull().cast("long")),
+    )
+
+
+def unique(col: str) -> Check:
+    """Violations = rows beyond the first of each duplicated value
+    (count - distinct count); null values count via their own group."""
+    return Check(
+        f"unique({col})",
+        F.count(F.lit(1)) - F.count_distinct(F.col(col)),
+    )
+
+
+def in_range(col: str, lo, hi) -> Check:
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        F.sum(
+            (~F.col(col).between(F.lit(lo), F.lit(hi)))
+            .cast("long")
+        ),
+    )
+
+
+def accepted_values(col: str, values: Sequence) -> Check:
+    vals = list(values)
+    return Check(
+        f"accepted_values({col})",
+        F.sum((~F.col(col).isin(*vals)).cast("long")),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Check:
+    return Check(
+        f"matches_regex({col})",
+        F.sum((~F.col(col).rlike(pattern)).cast("long")),
+    )
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate every check in ONE aggregate pass; returns
+    (check, violations, passed) rows via stack() over the 1-row result
+    (the final exchange carries one partial row per partition — the
+    benign scalar-agg funnel, see tools/explain_audit.py)."""
+    aggs = [
+        F.coalesce(c.violations, F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, c in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c.name.replace(chr(39), '')}', _c{i}" for i, c in enumerate(checks)
+    )
+    return row.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check, violations)"
+    ).select(
+        "check",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
