@@ -93,7 +93,12 @@ def single_partition_counts(df) -> tuple:
         if "Exchange SinglePartition" not in ln:
             continue
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
-        if re.search(r"Aggregate\(key(s)?=\[\], functions=\[partial_", nxt):
+        # keyless child aggregate = one pre-aggregated row per partition
+        # flows through the exchange, whether the child is the first
+        # partial or an intermediate merge of a distinct-agg plan
+        if re.search(
+            r"Aggregate\(key(s)?=\[\], functions=\[(partial_|merge_)", nxt
+        ):
             benign += 1
         else:
             killer += 1

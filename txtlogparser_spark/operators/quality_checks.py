@@ -39,7 +39,12 @@ def not_null(col: str) -> Check:
 
 def unique(col: str) -> Check:
     """Violations = rows beyond the first of each duplicated value
-    (count - distinct count); null values count via their own group."""
+    (count - distinct count); nulls all count as violations (pair with
+    not_null). Cost note: exact count_distinct adds one shuffle keyed on
+    the column (the standard two-phase distinct-agg plan) — the only
+    check here that isn't a pure map-side fold. At 10^12 rows either
+    accept that shuffle (it's the uniqueness check's information-
+    theoretic price) or swap in approx_count_distinct with a tolerance."""
     return Check(
         f"unique({col})",
         F.count(F.lit(1)) - F.count_distinct(F.col(col)),
