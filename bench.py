@@ -80,7 +80,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "tpch_pricing_summary",
     "events_hourly",
-    "corpus_funnel",
+    # NOTE: new round-3 queries (corpus_funnel etc.) are deliberately NOT
+    # added here — BENCH_r*.json's "value" sums this fixed suite, so the
+    # basis must stay identical across rounds to stay comparable.
+    # Round-3 additions are timed in BENCH/BASELINE.md instead.
 ]
 
 
