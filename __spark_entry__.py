@@ -1907,9 +1907,11 @@ def oracle_sql() -> dict[str, str]:
                 (e - n) // 128 AS fc, (e - 1) // 128 AS lc
               FROM c
             ), spans AS (
+              -- zero-length docs are manifest position markers; they
+              -- carry no tokens and must not spawn chunk rows
               SELECT source, doc_id, tok_start, toks, n,
                 unnest(range(CAST(fc AS BIGINT), CAST(lc + 1 AS BIGINT))) AS chunk_id
-              FROM m
+              FROM m WHERE n > 0
             ), pieces AS (
               SELECT source, chunk_id, off,
                 toks[(off - tok_start + 1) :

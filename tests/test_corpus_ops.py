@@ -404,3 +404,74 @@ class TestQualityChecks:
         assert out["accepted_values(lang)"] == (1, False)
         assert out["in_range(doc_id,0,100)"][1] is True or out["in_range(doc_id,0,100)"][0] == 0
         assert out["matches_regex(lang)"] == (0, True)
+
+
+class TestReviewRegressions:
+    """Pins for the round-3 code-review findings."""
+
+    def test_assemble_skips_zero_length_boundary_doc(self, spark):
+        from txtlogparser_spark.operators.packing import assemble_chunks
+
+        rows = [
+            ("s", 0, ["a", "b", "c", "d"]),
+            ("s", 1, []),  # lands exactly on the chunk cut at stream end
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<string>")
+        out = assemble_chunks(df, capacity=4).collect()
+        assert [(r["chunk_id"], r["tokens"], r["n_pieces"]) for r in out] == [
+            (0, ["a", "b", "c", "d"], 1)
+        ]  # no phantom empty chunk 1
+
+    def test_greedy_pack_nonstring_part_col(self, spark):
+        from txtlogparser_spark.operators.packing import greedy_pack
+
+        df = spark.createDataFrame(
+            [(7, 0, 10), (7, 1, 10)], "source long, doc_id long, n_tok long"
+        )
+        got = greedy_pack(df, capacity=15).orderBy("doc_id").collect()
+        assert [r["bin_id"] for r in got] == [0, 1]
+        assert got[0]["source"] == 7
+
+    def test_quality_check_regex_backslash_name(self, spark):
+        from txtlogparser_spark.operators.quality_checks import (
+            matches_regex,
+            run_checks,
+        )
+
+        df = spark.createDataFrame([("src1",), ("bad",)], ["source"])
+        out = run_checks(df, [matches_regex("source", r"^src\d+$")]).collect()
+        assert len(out) == 1
+        assert out[0]["check"] == r"matches_regex(source)"
+        assert out[0]["violations"] == 1 and not out[0]["passed"]
+
+    def test_cms_estimate_set_semantics(self, spark):
+        from txtlogparser_spark.operators.sketches import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], ["item"])
+        sk = cms_build(df, depth=2, width=8)
+        # duplicate query rows + an extra column: one row per distinct item
+        q = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], ["item", "qid"]
+        )
+        out = cms_estimate(sk, q, depth=2, width=8).collect()
+        assert sorted((r["item"], r["est_n"]) for r in out) == [("a", 2), ("b", 1)]
+
+    def test_dedup_stream_null_rows_do_not_poison_batch(self, spark, tmp_path):
+        from txtlogparser_spark.streaming.stateful import dedup_stream
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(0, "alpha"), (None, "alpha"), (1, None)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(src)
+        q = (
+            dedup_stream(spark.readStream.schema("doc_id long, text string").parquet(src))
+            .writeStream.format("memory")
+            .queryName("dedup_nulls")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from dedup_nulls").collect()
+        assert [(r["digest"] is not None, r["keeper_doc_id"]) for r in got] == [(True, 0)]

@@ -133,6 +133,11 @@ def assemble_chunks(
         capacity=int(capacity), bucket_width=bucket_width,
     )
     cap = F.lit(int(capacity))
+    # zero-length docs are position markers in the manifest but carry no
+    # tokens; excluding them here prevents a boundary-pinned empty doc
+    # (tok_start == a chunk cut at stream end) from emitting a phantom
+    # empty chunk and inflating n_pieces
+    manifest = manifest.where(F.col("_n_tok") > 0)
     spans = manifest.join(
         df.select(part_col, key, tokens_col), [part_col, key]
     ).select(
@@ -185,8 +190,9 @@ def greedy_pack(
     their own (never split, never dropped). Deterministic in key order.
     """
     cap = int(capacity)
+    part_type = df.schema[part_col].dataType.simpleString()
     out_schema = (
-        f"{part_col} string, {key} long, {len_col} long, "
+        f"{part_col} {part_type}, {key} long, {len_col} long, "
         "bin_id long, pos_in_bin long, bin_fill_after long"
     )
 

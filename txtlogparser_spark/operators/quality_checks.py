@@ -86,13 +86,24 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         for i, c in enumerate(checks)
     ]
     row = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{c.name.replace(chr(39), '')}', _c{i}" for i, c in enumerate(checks)
+    # literal-column structs, NOT a selectExpr string: check names carry
+    # user regexes/quotes/backslashes verbatim, so nothing may round-trip
+    # through the SQL parser
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.col(f"_c{i}").alias("violations"),
+            )
+            for i, c in enumerate(checks)
+        ]
     )
-    return row.selectExpr(
-        f"stack({len(checks)}, {pairs}) AS (check, violations)"
-    ).select(
-        "check",
-        "violations",
-        (F.col("violations") == 0).alias("passed"),
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.check", "p.violations")
+        .select(
+            "check",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
     )

@@ -82,12 +82,15 @@ def cms_estimate(
     depth: int = 4,
     width: int = 1024,
 ) -> DataFrame:
-    """Point-query estimates for each row of `queries`: est = min over
-    rows d of the (d, hash_d(item)) cell. The sketch (<= depth x width
-    rows) broadcasts; the probe explodes depth rows per query item and
-    re-aggregates min — absent cells count as 0 (cannot happen for
-    items that were actually inserted)."""
+    """Point-query estimates, SET semantics: one output row per
+    DISTINCT queried item (the input is deduped and extra columns
+    dropped — join the result back by item if per-row alignment is
+    needed). est = min over rows d of the (d, hash_d(item)) cell. The
+    sketch (<= depth x width rows) broadcasts; the probe explodes depth
+    rows per item and re-aggregates min — absent cells count as 0
+    (cannot happen for items that were actually inserted)."""
     item = F.col(item_col)
+    queries = queries.select(item_col).distinct()
     probes = queries.select(
         item_col,
         F.explode(

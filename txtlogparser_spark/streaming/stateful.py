@@ -109,6 +109,39 @@ def sessionize_native(
     )
 
 
+def _fold_gap_sessions(pdfs, cur, gap_us, on_close):
+    """Shared gap-session fold used by BOTH state-API sessionizers
+    (legacy applyInPandasWithState and the transformWithState port),
+    extracted so the semantics cannot diverge: materialize+sort the
+    micro-batch ONCE per key (chunk order is not time order), convert
+    pandas datetime64[ns] to epoch-us, then fold each event into the
+    running [start, end, n, value_sum] session. Events a later batch
+    delivers late (inside the gap window but before session_end) must
+    not move boundaries backwards — hence the min/max guards. Calls
+    on_close(session_tuple) for every gap-closed session; returns the
+    updated running session (or None)."""
+    parts = [pdf for pdf in pdfs if not pdf.empty]
+    if not parts:
+        return cur
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+    pdf = pdf.sort_values("ts", kind="mergesort")
+    ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+    vals = pdf["value"].to_numpy()
+    for t, v in zip(ts_us, vals):
+        if cur is None:
+            cur = [int(t), int(t), 1, float(v)]
+        elif t - cur[1] > gap_us:
+            on_close(tuple(cur))
+            cur = [int(t), int(t), 1, float(v)]
+        else:
+            cur[0] = min(cur[0], int(t))
+            cur[1] = max(cur[1], int(t))
+            cur[2] += 1
+            cur[3] += float(v)
+    return cur
+
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -157,32 +190,11 @@ def sessionize(
             # One key's micro-batch data may arrive as SEVERAL Arrow
             # chunks (groups larger than the Arrow batch size); sorting
             # per-chunk would process events out of time order and move
-            # session boundaries wrongly — materialize and sort ONCE per
-            # key. Per-key data is session-scale, not table-scale, so
-            # this stays bounded.
-            parts = [pdf for pdf in pdfs if not pdf.empty]
-            if parts:
-                pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
-                pdf = pdf.sort_values("ts", kind="mergesort")
-                ts_us = pdf["ts"].astype("int64").to_numpy()  # epoch us? ns
-                # pandas datetime64[ns] → ns; convert to us
-                ts_us = ts_us // 1000
-                vals = pdf["value"].to_numpy()
-                for t, v in zip(ts_us, vals):
-                    if cur is None:
-                        cur = [int(t), int(t), 1, float(v)]
-                    elif t - cur[1] > gap_us:
-                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
-                        cur = [int(t), int(t), 1, float(v)]
-                    else:
-                        # min/max guards: an event later micro-batches
-                        # deliver late (t inside the current gap window
-                        # but before session_end) must not move the
-                        # boundaries backwards
-                        cur[0] = min(cur[0], int(t))
-                        cur[1] = max(cur[1], int(t))
-                        cur[2] += 1
-                        cur[3] += float(v)
+            # session boundaries wrongly — the shared fold sorts ONCE
+            # per key (per-key data is session-scale, stays bounded)
+            cur = _fold_gap_sessions(
+                pdfs, cur, gap_us, lambda c: closed.append((user_id,) + c)
+            )
             if cur is not None:
                 state.update(tuple(cur))
                 if timeout_ms is not None:
@@ -286,23 +298,9 @@ def sessionize_tws(
             user_id = key[0]
             cur = list(self.state.get()) if self.state.exists() else None
             closed = []
-            parts = [pdf for pdf in rows if not pdf.empty]
-            if parts:
-                pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
-                pdf = pdf.sort_values("ts", kind="mergesort")
-                ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
-                vals = pdf["value"].to_numpy()
-                for t, v in zip(ts_us, vals):
-                    if cur is None:
-                        cur = [int(t), int(t), 1, float(v)]
-                    elif t - cur[1] > gap_us:
-                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
-                        cur = [int(t), int(t), 1, float(v)]
-                    else:
-                        cur[0] = min(cur[0], int(t))
-                        cur[1] = max(cur[1], int(t))
-                        cur[2] += 1
-                        cur[3] += float(v)
+            cur = _fold_gap_sessions(
+                rows, cur, gap_us, lambda c: closed.append((user_id,) + c)
+            )
             if cur is not None:
                 self.state.update(tuple(cur))
                 self._reset_timer(timerValues)
@@ -359,16 +357,31 @@ def dedup_stream(
             return
         best = None
         for pdf in pdf_iter:
-            m = pdf[key].min()
+            if pdf.empty:
+                continue
+            col = pdf[key].dropna()
+            if col.empty:
+                continue
+            m = col.min()
             best = m if best is None else min(best, m)
+        if best is None:
+            # nothing usable in this batch — leave the digest unseen
+            return
         state.update((1,))
         import pandas as pd
 
         yield pd.DataFrame({"digest": [key_[0]], f"keeper_{key}": [int(best)]})
 
-    keyed = docs.select(
-        F.md5(F.col(text_col)).alias("digest"), F.col(key).cast("long").alias(key)
-    ).groupBy("digest")
+    # null text has no digest; null keys cannot be keepers — drop both
+    # up front so a poisoned row cannot fail the whole micro-batch
+    keyed = (
+        docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+        .select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(key).cast("long").alias(key),
+        )
+        .groupBy("digest")
+    )
     return keyed.applyInPandasWithState(
         fn,
         outputStructType=out_schema,
