@@ -475,3 +475,31 @@ class TestReviewRegressions:
         q.awaitTermination(120)
         got = spark.sql("select * from dedup_nulls").collect()
         assert [(r["digest"] is not None, r["keeper_doc_id"]) for r in got] == [(True, 0)]
+
+    def test_zero_norm_vectors_never_rank(self, spark):
+        """A zero embedding has undefined cosine (0/0=NaN ranks FIRST
+        under desc) — the top-k entry points must exclude it."""
+        import numpy as np
+        from txtlogparser_spark.operators.similarity import brute_force_topk
+
+        rng = np.random.default_rng(7)
+        corpus = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(20)]
+        corpus.append((99, [0.0, 0.0, 0.0, 0.0]))
+        cdf = spark.createDataFrame(corpus, "vec_id long, v array<float>")
+        qdf = spark.createDataFrame(
+            [(0, corpus[0][1]), (1, [0.0, 0.0, 0.0, 0.0])],
+            "query_id long, qv array<float>",
+        )
+        out = brute_force_topk(qdf, cdf, k=3).collect()
+        assert all(r["neighbor_id"] != 99 for r in out)  # zero vec never a hit
+        assert all(r["query_id"] != 1 for r in out)  # zero query returns nothing
+        assert [r["rank"] for r in out if r["query_id"] == 0] == [1, 2, 3]
+
+    def test_band_size_divisibility_guard(self, spark):
+        from txtlogparser_spark.operators.dedup import band_table
+
+        sig = spark.createDataFrame([(1, ["00=a"])], "doc_id long, sig array<string>")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="divisible"):
+            band_table(sig, num_hashes=16, band_size=5)

@@ -111,6 +111,12 @@ def band_table(
     At scale this is what gets written out (bucketed by (band, bkey))
     once per corpus snapshot, so later shards probe it with an equi-join
     instead of re-signing the whole history."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}): trailing minhashes would be paid for but "
+            "band into nothing, silently lowering recall"
+        )
     nbands = num_hashes // band_size
     bands = F.explode(
         F.transform(
@@ -449,8 +455,23 @@ def duplicate_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # returning unconverged labels would silently split one real
+        # duplicate cluster into several (chains longer than max_iter
+        # hops) — fail loudly; the caller raises max_iter or
+        # pre-contracts chains
+        prev.unpersist()
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter for longer near-dup chains"
+        )
     # truncate the accumulated per-round lineage: downstream consumers
     # (joins, sinks) get a leaf-sized plan over the materialized labels
     # (O(#docs-in-pairs) rows, already persisted), not R rounds of it
     labels = labels.localCheckpoint(eager=True)
+    # the eager checkpoint re-materialized the labels independently of
+    # the loop's cache — release the final round's persist instead of
+    # pinning one dead O(#docs-in-pairs) frame per call
+    prev.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_rep"))

@@ -112,8 +112,12 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # the DECODER owns the null-payload policy (the default
+            # fake maps None to md5(b"") features) — bypassing it with
+            # [0.0]*dim produced wrong-length features whenever a custom
+            # decoder's output dim differed from the `dim` argument
             feats = [
-                dec(p, m).tolist() if p is not None else [0.0] * dim
+                dec(p, m).tolist()
                 for p, m in zip(pdf["payload"], pdf["meta"])
             ]
             yield pd.DataFrame(

@@ -48,6 +48,15 @@ def l2norm(a) -> Column:
 BROADCAST_CORPUS_MAX_BYTES = 64 << 20
 
 
+def nonzero_vectors(df: DataFrame, vec: str) -> DataFrame:
+    """Cosine similarity is undefined for zero-norm vectors (0/0 = NaN,
+    and NaN sorts FIRST under desc, so one all-zero embedding — a
+    padding row or failed encode — would rank as everyone's #1
+    neighbor). Every top-k entry point excludes them up front; a
+    map-side filter, free at any scale."""
+    return df.where(l2norm(F.col(vec)) > 0)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -69,6 +78,8 @@ def brute_force_topk(
 
     `broadcast_corpus` overrides the size heuristic explicitly.
     """
+    queries = nonzero_vectors(queries, qvec)
+    corpus = nonzero_vectors(corpus, cvec)
     if broadcast_corpus is None:
         broadcast_corpus = _small(corpus)
     if broadcast_corpus:
@@ -177,6 +188,8 @@ def lsh_topk(
     candidate SET is identical to the OR-join's, so results (and the
     DuckDB oracle, which replays the OR form on id-sets) are unchanged.
     """
+    queries = nonzero_vectors(queries, qvec)
+    corpus = nonzero_vectors(corpus, cvec)
     c_sig = corpus.select(
         cid,
         *[
@@ -263,9 +276,7 @@ def ivf_centroids(
     return [[float(x) for x in r[cvec]] for r in rows]
 
 
-def ivf_assign(
-    df: DataFrame, cents: list, *, vec: str, nprobe: int = 1
-) -> Column:
+def ivf_assign(cents: list, *, vec: str, nprobe: int = 1) -> Column:
     """Cell ids of the nprobe nearest centroids (cosine, tie → smaller
     centroid index), as an array<int> — computed per-row with inlined
     literals, no shuffle. array_sort on struct(-s, c) = sim desc, index
@@ -301,12 +312,14 @@ def ivf_topk(
     ≈ nprobe/n_cells of the corpus. Recall < 1 by design (a query's true
     neighbor can live in an unprobed cell); brute_force_topk is the
     recall oracle."""
+    queries = nonzero_vectors(queries, qvec)
+    corpus = nonzero_vectors(corpus, cvec)
     cents = ivf_centroids(corpus, n_cells, cid=cid, cvec=cvec)
     assigned = corpus.select(
-        cid, cvec, ivf_assign(corpus, cents, vec=cvec, nprobe=1)[0].alias("_cell")
+        cid, cvec, ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("_cell")
     )
     probes = queries.select(
-        qid, F.explode(ivf_assign(queries, cents, vec=qvec, nprobe=nprobe)).alias("_cell")
+        qid, F.explode(ivf_assign(cents, vec=qvec, nprobe=nprobe)).alias("_cell")
     )
     # corpus row lives in exactly one cell and a query's probe cells are
     # distinct → each (query, corpus) candidate appears at most once

@@ -61,7 +61,9 @@ def asof_join(
         F.lit(1).alias("_is_l"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l_pay"),
         F.lit(None).cast(
-            right.select(payload).schema["_r_pay"].dataType.simpleString()
+            # the DataType OBJECT — a simpleString round-trip breaks on
+            # column names that need backquotes (spaces, dots)
+            right.select(payload).schema["_r_pay"].dataType
         ).alias("_r_pay"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tie_{i}")
           for i, c in enumerate(right_cols)],
@@ -72,7 +74,7 @@ def asof_join(
         F.lit(0).alias("_is_l"),
         F.lit(None).cast(
             left.select(F.struct(*[F.col(c) for c in lcols]).alias("_l_pay"))
-            .schema["_l_pay"].dataType.simpleString()
+            .schema["_l_pay"].dataType
         ).alias("_l_pay"),
         payload,
         *[F.col(c).alias(f"_tie_{i}") for i, c in enumerate(right_cols)],
