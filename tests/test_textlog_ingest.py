@@ -196,3 +196,35 @@ def test_ingest_pipeline_matches_oracle_on_raw_lines(spark, log_file):
         ]
         exp_spans = [(s.start, s.end, s.filter_id) for s in ol.filter_spans]
         assert got_spans == exp_spans, r["doc_id"]
+
+
+def test_colliding_stems_stay_distinct_sources(spark, tmp_path):
+    """app.log + app.err must NOT merge into one 'app' source — per-file
+    line numbering plus a shared source key would interleave their
+    lines in every (source, line_no) keyed stage downstream."""
+    import os
+
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    with open(f"{d}/app.log", "w") as fh:
+        fh.write("log zero\nlog one\n")
+    with open(f"{d}/app.err", "w") as fh:
+        fh.write("err zero\n")
+    from txtlogparser_spark.sources.textlog import read_log_lines
+
+    out = read_log_lines(spark, d).collect()
+    srcs = {r["source"] for r in out}
+    assert srcs == {"app.log", "app.err"}  # full basenames on collision
+    by = {(r["source"], r["line_no"]): r["text"] for r in out}
+    assert by[("app.log", 0)] == "log zero"
+    assert by[("app.err", 0)] == "err zero"
+
+    # unique stems keep the readable extension-stripped names
+    d2 = str(tmp_path / "logs2")
+    os.makedirs(d2)
+    with open(f"{d2}/web.log", "w") as fh:
+        fh.write("a\n")
+    with open(f"{d2}/db.log", "w") as fh:
+        fh.write("b\n")
+    out2 = {r["source"] for r in read_log_lines(spark, d2).collect()}
+    assert out2 == {"web", "db"}

@@ -120,18 +120,14 @@ def ecma_to_python(pattern: str) -> str:
                 out.append(r"[\s\S]")
                 i += 3
             else:
+                # NOTE: a ']' directly after '[' or '[^' cannot reach
+                # here — those shapes are the empty-class forms consumed
+                # by the startswith branches above; everything else in
+                # the class (including a leading '^') copies through the
+                # in_class loop verbatim, identical in both dialects
                 in_class = True
                 out.append(c)
                 i += 1
-                # leading ^ then a literal ']' member (ECMA and Python
-                # agree ']' first-in-class is literal — keep, escaped
-                # for clarity)
-                if i < n and pattern[i] == "^":
-                    out.append("^")
-                    i += 1
-                if i < n and pattern[i] == "]":
-                    out.append(r"\]")
-                    i += 1
             prev_was_quant = False
             continue
         if c == "$":

@@ -36,8 +36,9 @@ def enrich_with_sources(
         ]
         facts = facts.where(F.col("source").isin(selected))
         dim = dim.where(F.col("selected"))
-    keep = ["source", "source_rank"] + [
-        c for c in (payload_cols or [c for c in dim.columns if c not in ("source", "source_rank", "selected")])
-    ]
+    keep = ["source", "source_rank"] + list(
+        payload_cols
+        or [c for c in dim.columns if c not in ("source", "source_rank", "selected")]
+    )
     dim = dim.select(*dict.fromkeys(keep))
     return facts.join(F.broadcast(dim), on="source", how="inner")

@@ -89,12 +89,19 @@ def page(
     """Return the visible window slice, ordered, with optional display
     prefix '%1 [%2:%3]' (outputdisplaywidget.cpp:448-454).
 
-    `total` is the surviving-line count (drives the clamp + prefix width,
-    outputdisplaywidget.cpp:480-484).
+    `total` is the surviving-line count and drives the clamp; the
+    prefix zero-pad width follows the RENDERED window's line count —
+    the reference pads to QString::number(outputLines.size()).length()
+    where outputLines is the fetched display list
+    (outputdisplaywidget.cpp:480-484), not the full survivor count.
     """
     lo, hi = window_slice(total, visible, top)
     if lo < 0:
-        return df.limit(0)
+        empty = df.limit(0)
+        if with_prefix:
+            # keep the schema identical to the non-empty path
+            empty = empty.withColumn("display_prefix", F.lit(""))
+        return empty
     out = with_global_index(df, "source_rank", ["line_no"], out="_rn").where(
         (F.col("_rn") >= lo) & (F.col("_rn") <= hi)
     )

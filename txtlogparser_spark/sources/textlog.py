@@ -74,13 +74,23 @@ def read_log_lines(
         F.col("_metadata.file_block_start").alias("_blk"),
         F.monotonically_increasing_id().alias("_mid"),
     )
-    src = (
-        F.lit(source)
-        if source is not None
-        else F.regexp_replace(
-            F.element_at(F.split(F.col("_file"), "/"), -1), r"\.[^.]*$", ""
-        )
-    )
+    if source is not None:
+        src = F.lit(source)
+    else:
+        # default naming strips the extension for readability — but two
+        # files sharing a stem (app.log + app.err) would then collide
+        # into ONE source while line_no stays per-file, and every
+        # (source, line_no) keyed stage downstream (tokenize_via_join,
+        # doc_id minting) would silently interleave their lines. The
+        # input file listing is driver-side metadata (no job): when
+        # stems collide, fall back to the full basename.
+        basenames = {p.rstrip("/").rsplit("/", 1)[-1] for p in raw.inputFiles()}
+        stems = {b.rsplit(".", 1)[0] if "." in b else b for b in basenames}
+        base_expr = F.element_at(F.split(F.col("_file"), "/"), -1)
+        if len(stems) < len(basenames):
+            src = base_expr
+        else:
+            src = F.regexp_replace(base_expr, r"\.[^.]*$", "")
     w = Window.partitionBy("_file").orderBy("_blk", "_mid")
     return (
         raw.withColumn("source", src)
@@ -168,7 +178,12 @@ def tokenize_via_join(
             ).otherwise(F.split(F.col(text_col), " "))
         ).alias("pos", "w"),
     )
-    mapped = words.join(F.broadcast(vocab_df), words.w == vocab_df.word, "left")
+    # no forced broadcast: under the auto-broadcast threshold Catalyst
+    # broadcasts the dim anyway; over it (open multi-million-word
+    # vocabularies — the very case this path exists for) forcing it
+    # would re-create the driver-memory blowup build_vocab_df avoids,
+    # so the planner is left free to pick a shuffle hash join
+    mapped = words.join(vocab_df, words.w == vocab_df.word, "left")
     assembled = (
         mapped.groupBy(*keys)
         .agg(
