@@ -158,3 +158,39 @@ def test_stream_cms_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from cms_stream").collect()))
     assert got == batch
+
+
+def test_stream_dedup_within_watermark_builtin(spark, tmp_path):
+    """Complement to dedup_stream: when duplicates only arrive within a
+    bounded event-time horizon (retries, at-least-once upstream), the
+    BUILT-IN dropDuplicatesWithinWatermark is the zero-Python shape -
+    state evicts as the watermark passes, so it stays bounded without a
+    TTL policy. Pin its behavior on one in-horizon duplicate pair."""
+    import datetime as dt
+
+    src = str(tmp_path / "ev_in")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, base, "alpha"),
+        (0, base + dt.timedelta(minutes=1), "alpha"),  # dup within horizon
+        (1, base + dt.timedelta(minutes=2), "beta"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dd_wm")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id, text from dd_wm").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in got) == [(0, "alpha"), (1, "beta")]
