@@ -864,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_probe": q_dedup_incremental_probe,
         "quota_sample": q_quota_sample,
         "data_quality_checks": q_data_quality_checks,
+        "dedup_semantic_ivf": q_dedup_semantic_ivf,
     }
 
 
@@ -2066,6 +2067,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT "check", violations, violations = 0 AS passed
             FROM v ORDER BY "check"
         """,
+        # dedup_semantic_ivf: same deterministic quantizer replay as the
+        # ann_ivf_topk oracle, then in-cell pairs over the threshold
+        "dedup_semantic_ivf": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
+                     v AS cv
+              FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+            ),
+            ascore AS (
+              SELECT v.vec_id, v.v, cents.cent,
+                list_dot_product(v.v, cents.cv)
+                  / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) AS s
+              FROM v CROSS JOIN cents
+            ),
+            assign AS (
+              SELECT vec_id, v, cent FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent ASC) AS rn
+                FROM ascore) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+              FROM assign a JOIN assign b
+                ON a.cent = b.cent AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, ROUND(sim, 4) AS sim_r
+            FROM pairs WHERE sim >= 0.4 ORDER BY vec_a, vec_b
+        """,
     }
 
 
@@ -2662,3 +2693,24 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches_regex("source", "^src[0-9]+$"),
     ]
     return run_checks(d, checks).orderBy("check")
+
+
+def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py::
+    semantic_dedup_pairs): embedding near-dup pairs via IVF-cell
+    blocking — per-cell O(n²) instead of corpus-wide, shuffling on the
+    cell id (the unlabeled counterpart of dedup_embedding_cosine's
+    label blocking; published recipe: cluster, then dedup within
+    clusters). threshold=0.4 is fixture-tuned (the synthetic embeddings
+    carry no true near-dups; production uses ~0.95); the deterministic
+    md5-ordered quantizer makes the pair set exactly replayable."""
+    from txtlogparser_spark.operators.similarity import semantic_dedup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return semantic_dedup_pairs(v, n_cells=8, threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )

@@ -503,3 +503,51 @@ class TestReviewRegressions:
 
         with _pt.raises(ValueError, match="divisible"):
             band_table(sig, num_hashes=16, band_size=5)
+
+
+class TestSemanticDedup:
+    def test_equals_brute_force_within_cells(self, spark):
+        """Blocked pairs must equal the all-pairs cosine filter
+        restricted to same-cell pairs (the blocking trade is EXACTLY
+        cross-cell misses, nothing else)."""
+        import numpy as np
+        from txtlogparser_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            semantic_dedup_pairs,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = [[float(x) for x in rng.normal(size=4)] for _ in range(40)]
+        vecs[7] = [x * 1.01 + 0.001 for x in vecs[3]]  # a true near-dup pair
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+        )
+        got = {
+            (r["vec_a"], r["vec_b"]): r["sim_r"]
+            for r in semantic_dedup_pairs(df, n_cells=4, threshold=0.9).collect()
+        }
+        # python model
+        cents_rows = ivf_centroids(df, 4)
+        cents = [np.array(c) for c in cents_rows]
+
+        def cell(v):
+            v = np.array(v)
+            sims = [
+                float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in cents
+            ]
+            best = max(range(4), key=lambda i: (sims[i], -i))
+            return best
+
+        expect = {}
+        for i in range(40):
+            for j in range(i + 1, 40):
+                if cell(vecs[i]) != cell(vecs[j]):
+                    continue
+                a, b = np.array(vecs[i]), np.array(vecs[j])
+                s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if s >= 0.9:
+                    expect[(i, j)] = round(s, 4)
+        assert got == expect
+        assert (3, 7) in got  # the planted near-dup shares a cell (same direction)

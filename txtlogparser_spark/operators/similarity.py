@@ -335,3 +335,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(qid, "rank", F.col(cid).alias("neighbor_id"), "sim")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    cid: str = "vec_id",
+    cvec: str = "v",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding near-dup pairs
+    found by IVF-CELL BLOCKING — vectors are compared only against
+    others in the same quantizer cell, so the join shuffles on the cell
+    id and the per-cell O(n²) replaces the corpus-wide O(n²) (the
+    published SemDeDup recipe: k-means cluster, dedup within clusters).
+
+    Recall caveat by design: a near-dup pair straddling a cell boundary
+    is missed — the standard blocking trade; raise n_cells for tighter
+    cells (cheaper verify, more boundary misses) or lower it for the
+    reverse. Pairs report cosine rounded to 4.
+
+    The cell assignment is the deterministic md5-ordered coarse
+    quantizer shared with ivf_topk, so the whole operator replays in
+    ANSI SQL. The assignment lineage is ONE map-side argmax over a
+    corpus scan — deliberately NOT persisted for the self-join (unlike
+    the LSH band table, whose lineage is a multi-shuffle md5 chain,
+    recomputing a map-only scan is cheaper than caching a corpus-sized
+    frame at 100 TB)."""
+    corpus = nonzero_vectors(corpus, cvec)
+    cents = ivf_centroids(corpus, n_cells, cid=cid, cvec=cvec)
+    assigned = corpus.select(
+        cid, cvec, ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("_cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = dot(F.col(f"a.{cvec}"), F.col(f"b.{cvec}")) / (
+        l2norm(F.col(f"a.{cvec}")) * l2norm(F.col(f"b.{cvec}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{cid}") < F.col(f"b.{cid}")),
+        )
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{cid}").alias("vec_a"),
+            F.col(f"b.{cid}").alias("vec_b"),
+            F.round("sim", 4).alias("sim_r"),
+        )
+    )
