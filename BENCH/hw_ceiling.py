@@ -81,9 +81,16 @@ def worker(args):
 
 
 def _cpu_stat():
-    with open("/proc/stat") as fh:
-        vals = [int(x) for x in fh.readline().split()[1:]]
-    return sum(vals), vals[7] if len(vals) > 7 else 0
+    # same reader as bench.py/_cpu_stat and scaling.py's TRIAL_CODE
+    # template (the template must stay self-contained for its
+    # subprocess); degrade to (0,0) like bench does instead of letting
+    # a transient /proc read error kill a ceiling probe
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
 
 
 def measure(n_iter: int = 2, data: str | None = None, repeats: int = 2) -> dict:

@@ -403,7 +403,12 @@ def main():
     summary = {
         "metric": "scaling efficiency 1x8 -> 4x8 executors (local-cluster, paired trials)",
         "rows": args.rows,
-        "trials": args.trials,
+        # attempted pair count — the sampling loop can run MORE pairs
+        # than --trials (extending toward --min-clean-pairs) or fewer
+        # (RuntimeError-dropped pairs), so the denominator for the
+        # clean fraction is len(pair_efficiencies), not the CLI arg
+        "trials": len(pair_eff),
+        "trials_requested": args.trials,
         "pair_efficiencies": [round(e, 3) for e in pair_eff],
         "pair_steal_pct": [[a, b] for a, b in pair_steals],
         "pairs_clean": sum(pair_clean),
@@ -472,7 +477,7 @@ hot source = 50% of rows), same input, fresh `local-cluster` per config
 — real separate
 executor JVMs with their own Python workers, taskset-pinned to exactly
 the executor core budget (driver shares it in both configs, so resources
-are strictly proportional). {args.trials} trials each; timing excludes
+are strictly proportional). {len(pair_eff)} measured pairs (requested {args.trials}; the loop extends under contention / drops failed pairs); timing excludes
 cluster startup + worker warmup.
 
 | config | executors | cores | median wall (s) | best wall (s) | throughput (seq/s, median) |
@@ -491,7 +496,7 @@ criterion, not an excuse applied after the fact):
 | raw median paired efficiency | {summary['efficiency']} | ≥ 0.8 | {"PASS" if summary.get('acceptance_raw') else "FAIL"} |
 
 Scaling efficiency = median over CLEAN pairs (both sides ≤2% co-tenant
-CPU steal; {summary['pairs_clean']}/{args.trials} clean this run) of
+CPU steal; {summary['pairs_clean']}/{len(pair_eff)} clean this run) of
 (tN/t4N)/4 = **{summary['efficiency']}** (all-pairs median:
 {summary['efficiency_all_pairs']}). Best-of-trials efficiency
 (capability under shared-VM interference): {summary['efficiency_best_trial']}.

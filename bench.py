@@ -34,6 +34,7 @@ data — and cached under .bench_data/.
 from __future__ import annotations
 
 import json
+import statistics
 import os
 import sys
 import time
@@ -66,10 +67,6 @@ def _cpu_stat() -> tuple[int, int]:
         return 0, 0
 
 
-def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 HEADLINE = [
     "log_route",
@@ -154,6 +151,11 @@ def main():
 
     import __spark_entry__ as entry_mod
 
+    # pre-existing co-tenant load, sampled BEFORE any of our own Spark
+    # work — the headline suite saturates the box, so sampling at the
+    # first pipeline trial would flag trial 0 dirty on a quiet machine
+    load_at_start = _loadavg1()
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("txtlogparser-spark-bench")
@@ -221,10 +223,11 @@ def main():
         steal_pct = (
             100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
         )
-        # dirty = co-tenant steal during the trial, or pre-existing load
-        # before the FIRST trial (later trials inherit OUR OWN 1-min
-        # loadavg from the preceding trial, so load alone can't flag them)
-        dirty = steal_pct > 2.0 or (k == 0 and load0 > 0.25 * CPUS)
+        # dirty = co-tenant steal during the trial, or PRE-EXISTING load
+        # at bench start (every in-bench load sample — including trial
+        # 0's, which follows the headline suite — reflects our own work,
+        # so load alone can only flag the state of the box before us)
+        dirty = steal_pct > 2.0 or (k == 0 and load_at_start > 0.25 * CPUS)
         pipe_trials.append(dt)
         trial_meta.append(
             {
@@ -236,7 +239,7 @@ def main():
         )
     clean = [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
     if clean:
-        pipe_sec, pipe_basis = _median(clean), "median_clean"
+        pipe_sec, pipe_basis = statistics.median(clean), "median_clean"
     else:
         # every trial ran under visible co-tenant steal: the median then
         # measures the co-tenant twice over — the MIN trial is the

@@ -23,15 +23,29 @@ TABLES = [
 
 
 def norm(v):
+    """Type-stable normalization. Two requirements beyond rounding:
+    (1) None (Spark null) and float NaN must map to the SAME sentinel —
+    duckdb's .df() surfaces nullable-int NULLs as NaN, so a semantically
+    equal null would otherwise spuriously mismatch; (2) every cell must
+    sort against every other, so rows mixing null sentinels with
+    numbers cannot crash sorted() — hence the comparison key below is
+    the stringified cell, never the raw mixed-type tuple. Floats keep
+    the driver's ABSOLUTE round(6) on purpose: this tool mirrors the
+    driver's compare; loosening to a relative tolerance here could hide
+    a mismatch the driver would record."""
     if v is None:
-        return ""  # sortable sentinel (rollup/grouping-set NULLs)
+        return "\x00null"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "\x00null"
         return round(v, 6)
     if isinstance(v, bool):
         return bool(v)
     return v
+
+
+def row_key(row):
+    return tuple(str(x) for x in row)
 
 
 def main():
@@ -84,10 +98,15 @@ def main():
             failures += 1
             continue
         cols = sorted(scols)
-        sset = sorted(tuple(norm(r[c]) for c in cols) for r in srows)
+        sset = sorted(
+            (tuple(norm(r[c]) for c in cols) for r in srows), key=row_key
+        )
         dset = sorted(
-            tuple(norm(v) for v in row)
-            for row in ddf[cols].itertuples(index=False, name=None)
+            (
+                tuple(norm(v) for v in row)
+                for row in ddf[cols].itertuples(index=False, name=None)
+            ),
+            key=row_key,
         )
         if len(sset) != len(dset):
             print(f"FAIL {name}: rowcount {len(sset)} != {len(dset)}")
