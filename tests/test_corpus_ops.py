@@ -551,3 +551,25 @@ class TestSemanticDedup:
                     expect[(i, j)] = round(s, 4)
         assert got == expect
         assert (3, 7) in got  # the planted near-dup shares a cell (same direction)
+
+    def test_components_nonconvergence_raises(self, spark):
+        """A chain longer than max_iter hops must fail loudly, not
+        return a silently split cluster (review finding)."""
+        from txtlogparser_spark.operators.dedup import duplicate_components
+
+        # the module's earlier tests leave persisted frames behind;
+        # this test's iterative loop needs the driver heap headroom
+        spark.catalog.clearCache()
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+        )
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="did not converge"):
+            duplicate_components(pairs, max_iter=2)
+        # and with enough iterations the same chain is ONE component —
+        # at the DEFAULT checkpoint cadence (an earlier default of 10
+        # let the per-round plan doubling OOM the driver before the
+        # first truncation)
+        got = duplicate_components(pairs, max_iter=20).collect()
+        assert {r["group_rep"] for r in got} == {0}

@@ -398,7 +398,7 @@ def simhash_candidate_pairs(
 def duplicate_components(
     pairs: DataFrame,
     max_iter: int = 50,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph → (doc_id,
     group_rep): every doc that appears in a verified duplicate pair is
@@ -445,6 +445,13 @@ def duplicate_components(
                 "chg"
             ),
         )
+        # each round references the previous labels TWICE (the join and
+        # the neighbor aggregate), so the LOGICAL plan doubles per round
+        # even though execution reads the persisted cache — untruncated,
+        # 10 rounds is a ~1000x plan-tree blowup whose explain-string
+        # rendering alone OOMs the driver (observed on an 8-hop chain).
+        # checkpoint_every bounds that growth window; 3 caps the factor
+        # at 8x between truncations.
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             upd = upd.localCheckpoint(eager=False)
         upd = upd.persist()
