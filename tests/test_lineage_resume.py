@@ -80,3 +80,26 @@ class TestResume:
         assert all(row["checksum"] is not None for row in lin)
         # rerun is a no-op (all batches done)
         assert r.run(SOURCES, build, batch_size=4) == 0
+
+
+def test_rebatch_leaves_no_stale_sink_dirs(spark, tmp_path):
+    """Changing batch_size between invocations must not leave stale
+    batch dirs that duplicate rows in the sink (review finding)."""
+    from txtlogparser_spark.plans.lineage import CheckpointedRunner
+
+    out = str(tmp_path / "out")
+
+    def build(batch):
+        return spark.createDataFrame(
+            [(f"{s}-{i}", s) for s in batch for i in range(3)],
+            "doc_id string, source string",
+        )
+
+    sources = [f"s{i}" for i in range(8)]
+    r1 = CheckpointedRunner(spark, "runA", out)
+    r1.run(sources, build, batch_size=2)  # 4 batches
+    assert r1.sink().count() == 24
+
+    r2 = CheckpointedRunner(spark, "runB", out)
+    r2.run(sources, build, batch_size=4)  # 2 batches, different split
+    assert r2.sink().count() == 24  # no duplicated rows from stale dirs

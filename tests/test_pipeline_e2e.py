@@ -360,3 +360,82 @@ class TestEcmaDialectE2E:
         # default dialect stays OUT of the dict: digests of existing
         # persisted workspaces (and resume manifests) must not change
         assert "regex_dialect" not in self._ws("python").to_dict()
+
+
+def test_fused_rank_parity_when_filter_kills_a_source(spark):
+    """Degenerate no-source_info mode: the fused path enriches AFTER the
+    survival filter, so its rank dim must come from the PRE-filter frame
+    — a source whose rows all fail the filters must still occupy its
+    rank slot, keeping fused == non-fused (review finding)."""
+    from txtlogparser_spark.config import FilterSpec, WorkspaceConfig
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.sources.fixtures import build_vocab
+
+    vocab = build_vocab()
+    kw = vocab[5]
+    rows = []
+    # source 'a' sorts FIRST but never matches; 'b' and 'c' match
+    for i, (src, word) in enumerate(
+        [("a", vocab[9]), ("b", kw), ("c", kw), ("b", kw)]
+    ):
+        tok = vocab.index(word)
+        rows.append((f"{src}-{i:08d}", [tok], 1, src))
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    ws = WorkspaceConfig(
+        filters=[FilterSpec(id=1, row=0, pattern=kw)], searches=[]
+    )
+    pipe = LogPipeline(spark, ws, vocab)  # no source_info => degenerate mode
+    fused = {
+        (r["doc_id"], r["source_rank"])
+        for r in pipe.run(seqs).select("doc_id", "source_rank").collect()
+    }
+    unfused = {
+        (r["doc_id"], r["source_rank"])
+        for r in pipe.run(seqs, fused=False)
+        .select("doc_id", "source_rank")
+        .collect()
+    }
+    assert fused == unfused
+    # 'a' holds rank 0 even though filtered out, so 'b' must be rank 1
+    assert all(rank == 1 for d, rank in fused if d.startswith("b"))
+
+
+def test_fused_prunes_unselected_sources_before_python(spark):
+    """S2: with source_info present, the unselected-source IN predicate
+    must reach the scan (PushedFilters), not wait for the enrich join
+    above the opaque Python stage (review finding)."""
+    from txtlogparser_spark.config import FilterSpec, WorkspaceConfig
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.sources.fixtures import build_vocab
+    import io, contextlib
+
+    vocab = build_vocab()
+    kw = vocab[5]
+    rows = [(f"s{i % 3}-{i:08d}", [vocab.index(kw)], 1, f"s{i % 3}") for i in range(9)]
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    info = spark.createDataFrame(
+        [("s0", 0, True), ("s1", 1, False), ("s2", 2, True)],
+        "source string, source_rank int, selected boolean",
+    )
+    ws = WorkspaceConfig(
+        filters=[FilterSpec(id=1, row=0, pattern=kw)], searches=[]
+    )
+    pipe = LogPipeline(spark, ws, vocab, source_info=info)
+    out = pipe.run(seqs)
+    assert {r["source"] for r in out.select("source").collect()} == {"s0", "s2"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    py_at = plan.find("MapInArrow")
+    if py_at == -1:
+        py_at = plan.find("ArrowEvalPython")
+    # the isin filter must appear BELOW (after, in printed order) the
+    # Python node, i.e. closer to the scan
+    filt_at = plan.rfind("source#")
+    assert py_at != -1
+    assert "isin" in plan.lower() or " IN (" in plan or "In(source" in plan

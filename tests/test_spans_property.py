@@ -89,3 +89,21 @@ def test_engine_regex_matches_oracle(text, pat, cs, ww):
         return
     assert survived
     assert efs == want[0]
+
+
+def test_engine_regex_unicode_casefold_matches_oracle():
+    """re.IGNORECASE case-folds the full Unicode range while the
+    literal precheck's fold table is ASCII-only — the precheck must
+    stand aside on non-ASCII lines (review finding: Kelvin sign K
+    matches 'k', long s (U+017F) matches 's')."""
+    for text, pat in [
+        ("\u212aIT lamp", "kit"),          # KELVIN SIGN + 'IT'
+        ("me\u017fsage queue", "message"),  # LATIN SMALL LETTER LONG S
+    ]:
+        filters = [
+            FilterSpec(201, 0, pat, caseSensitive=False, wholeWord=False, regex=True)
+        ]
+        efs, _, _ = run_engine(text, filters, [])
+        want = run_oracle(text, filters, [])
+        assert want is not None, "oracle must match (re.I full casefold)"
+        assert efs == want[0]

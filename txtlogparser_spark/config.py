@@ -62,10 +62,12 @@ def is_color_valid(hex_color: str) -> bool:
         h = h[1:]
     elif len(h) != 6:
         return False
-    try:
-        color = int(h, 16)
-    except ValueError:
+    # strict hex-digit check: int(h, 16) would also accept '+', '-',
+    # '_' and whitespace, letting malformed strings (e.g. '+0FF00')
+    # through a shape check the reference (ColorData.cpp:65-75) rejects
+    if any(c not in "0123456789abcdefABCDEF" for c in h):
         return False
+    color = int(h, 16)
     r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
     return 0.2 <= relative_luminance(r, g, b) <= 0.8
 

@@ -166,10 +166,19 @@ def _segment_matches(
         content = text if cs else folded
         return _nonregex_matches(content, seg_start, seg_end, pat_folded, ww)
     if req_lit:
-        # C-speed necessary-condition check before the regex engine
-        hay = text if cs else folded
-        if hay.find(req_lit, seg_start, seg_end) == -1:
-            return []
+        # C-speed necessary-condition check before the regex engine.
+        # Case-sensitive: exact find on raw text, sound always.
+        # Case-insensitive: the folded haystack is ASCII-folded while
+        # re.IGNORECASE case-folds the full Unicode range (Kelvin K vs
+        # 'k', long s vs 's'), so the precheck is only sound when both
+        # the line and the required literal are pure ASCII — otherwise
+        # skip it and let the regex engine decide.
+        if cs:
+            if text.find(req_lit, seg_start, seg_end) == -1:
+                return []
+        elif text.isascii() and req_lit.isascii():
+            if folded.find(req_lit, seg_start, seg_end) == -1:
+                return []
     if plain:
         # context-free pattern: pos/endpos scanning == isolated-substring
         return [

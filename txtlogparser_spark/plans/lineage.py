@@ -74,10 +74,18 @@ class CheckpointedRunner:
 
     # ---- lineage table ----
     def lineage(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
-        except Exception:
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        except AnalysisException as e:
+            # ONLY the no-lineage-yet case may read as empty; a corrupt
+            # footer / permission / transient FS error must surface, or
+            # a "resume" silently re-executes every completed batch and
+            # appends duplicate done rows
+            if "PATH_NOT_FOUND" in str(e) or "unable to infer schema" in str(e).lower():
+                return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+            raise
 
     def completed_batches(self) -> set:
         rows = (
@@ -121,16 +129,37 @@ class CheckpointedRunner:
             sorted(sources)[i : i + batch_size]
             for i in range(0, len(sources), batch_size)
         ]
+        keys = [",".join(b) for b in batches]
+        # batch output dirs are CONTENT-keyed (md5 of the source list),
+        # matching the lineage resume key. Positional numbering plus a
+        # changed batch_size/source list between invocations used to
+        # leave stale batch dirs behind that sink() would read as
+        # duplicate rows — now any existing dir not in this run's key
+        # set is stale by definition and removed up front.
+        import hashlib
+        import shutil
+
+        dir_for = {
+            k: os.path.join(
+                self.sink_dir, f"batch={hashlib.md5(k.encode()).hexdigest()[:12]}"
+            )
+            for k in keys
+        }
+        if os.path.isdir(self.sink_dir):
+            live = {os.path.basename(p) for p in dir_for.values()}
+            for name in os.listdir(self.sink_dir):
+                if name.startswith("batch=") and name not in live:
+                    shutil.rmtree(os.path.join(self.sink_dir, name))
         done = self.completed_batches()
         executed = 0
         for pid, batch in enumerate(batches):
-            key = ",".join(batch)
+            key = keys[pid]
             if key in done:
                 continue
             if fail_after is not None and executed >= fail_after:
                 raise RuntimeError(f"injected failure after {executed} batches")
             df = build(list(batch))
-            out = os.path.join(self.sink_dir, f"batch={pid:05d}")
+            out = dir_for[key]
             df.write.mode("overwrite").parquet(out)
             written = self.spark.read.parquet(out)
             rows_out = written.count()
@@ -145,7 +174,10 @@ class CheckpointedRunner:
     def sink(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.sink_dir, "batch=*"))
 
-    def write_metrics(self, metrics: DataFrame, key_cols: Sequence[str]) -> None:
+    def write_metrics(self, metrics: DataFrame) -> None:
+        """Append-only metrics rows stamped with (run_id, stage); readers
+        dedup by taking the latest run_id — no key columns are enforced
+        here (an earlier signature took an unused key_cols)."""
         (
             metrics.withColumn("run_id", F.lit(self.run_id))
             .withColumn("stage", F.lit(self.stage))

@@ -83,25 +83,38 @@ class LogPipeline:
         return self.spark.read.parquet(path)
 
     # ---- stages ----
-    def parsed(self, seqs: DataFrame) -> DataFrame:
-        """Detokenize + derive line_no from doc_id ('{source}-{line_no:08d}',
-        FIXTURES.md §1). Column-pruned: only needed cols pass on."""
-        df = seqs
+    def _salted(self, df: DataFrame) -> DataFrame:
+        """Explicit skew defusal: spread each hot source over N buckets
+        before wide downstream stages while keeping source locality.
+        Shared by the fused and non-fused paths so the strategy cannot
+        drift between them."""
         if self.salt_buckets > 0:
-            # explicit skew defusal: spread each hot source over N buckets
-            # before wide downstream stages while keeping source locality
             df = df.repartition(
                 F.col("source"),
                 F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets)),
             )
+        return df
+
+    def parsed(self, seqs: DataFrame) -> DataFrame:
+        """Detokenize + derive line_no from doc_id ('{source}-{line_no:08d}',
+        FIXTURES.md §1). Column-pruned: only needed cols pass on."""
+        df = self._salted(seqs)
         return df.withColumn(
             "line_no",
             F.substring_index("doc_id", "-", -1).cast("int"),
         ).withColumn("text", self._detok(F.col("tokens")))
 
-    def enriched(self, parsed: DataFrame) -> DataFrame:
+    def enriched(
+        self, parsed: DataFrame, rank_basis: Optional[DataFrame] = None
+    ) -> DataFrame:
         """Broadcast enrich with source_rank/payload; prune unselected
-        sources (S2) before anything expensive."""
+        sources (S2) before anything expensive.
+
+        `rank_basis` (degenerate no-dim mode only): frame whose sources
+        define the rank dim. The fused path enriches AFTER the survival
+        filter, so it must pass its PRE-filter frame here — otherwise a
+        source whose rows all fail the filters would shift every later
+        source's rank and diverge from the non-fused path."""
         if self.source_info is None:
             # degenerate no-dim mode: rank sources lexicographically from a
             # distributed K-row aggregate — no driver-side .collect() on the
@@ -110,8 +123,9 @@ class LogPipeline:
                 ordered_partition_dim,
             )
 
+            basis = rank_basis if rank_basis is not None else parsed
             ranks = ordered_partition_dim(
-                parsed.select("source"), "source"
+                basis.select("source"), "source"
             ).select("source", F.col("_rank").alias("source_rank"))
             return parsed.join(F.broadcast(ranks), "source", "inner")
         return enrich_with_sources(parsed, self.source_info)
@@ -183,11 +197,23 @@ class LogPipeline:
         searches = self.ws.enabled_searches() if with_search else []
 
         df = seqs
-        if self.salt_buckets > 0:
-            df = df.repartition(
-                F.col("source"),
-                F.pmod(F.xxhash64("doc_id"), F.lit(self.salt_buckets)),
-            )
+        # S2 pruning FIRST: the unselected-source filter is a pushed-down
+        # IN predicate on the partition column — it must sit below the
+        # salt repartition and the (opaque, push-blocking) Python span
+        # stage, or unselected partitions get scanned, shuffled, and
+        # span-extracted only to be dropped by the enrich join at the end
+        if self.source_info is not None and "selected" in self.source_info.columns:
+            selected = [
+                r["source"]
+                for r in self.source_info.where(F.col("selected"))
+                .select("source")
+                .collect()
+            ]
+            df = df.where(F.col("source").isin(selected))
+        df = self._salted(df)
+        # rank basis for degenerate mode = every parsed row, BEFORE any
+        # survival filtering (parity with the non-fused path)
+        _rank_basis = df
         tok_pre = token_survival_prefilter(
             filters, self.vocab, dialect=self.ws.regex_dialect
         )
@@ -323,7 +349,7 @@ class LogPipeline:
                 if flat
                 else filter_predicate(F.col("filter_spans"))
             )
-        df = self.enriched(df)
+        df = self.enriched(df, rank_basis=_rank_basis)
         if filters:
             df = df.withColumn(
                 "route",

@@ -48,6 +48,7 @@ class WorkspaceSession:
         *,
         source_info: Optional[DataFrame] = None,
         store_path: Optional[str] = None,
+        invalid_regex: str = "reject",
     ) -> None:
         if not workspaces:
             raise ValueError("WorkspaceSession needs at least one workspace")
@@ -59,8 +60,13 @@ class WorkspaceSession:
         self.seqs = seqs
         self.source_info = source_info
         self.store_path = store_path
+        # invalid_regex plumbs through to every validate/pipeline so a
+        # session can host reference-compat workspaces loaded with
+        # 'match_nothing' (an earlier version always re-validated with
+        # the default 'reject', making compat workspaces unusable here)
+        self.invalid_regex = invalid_regex
         self.workspaces: Dict[int, WorkspaceConfig] = {
-            w.id: w.validate() for w in workspaces
+            w.id: w.validate(invalid_regex=invalid_regex) for w in workspaces
         }
         self.active_id: int = -1
         self._parsed: Optional[DataFrame] = None
@@ -106,6 +112,7 @@ class WorkspaceSession:
                 self.workspaces[ws_id],
                 self.vocab,
                 source_info=self.source_info,
+                invalid_regex=self.invalid_regex,
             )
         return self._pipelines[ws_id]
 
