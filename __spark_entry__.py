@@ -863,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "dedup_incremental_probe": q_dedup_incremental_probe,
         "quota_sample": q_quota_sample,
+        "epoch_shuffle": q_epoch_shuffle,
         "data_quality_checks": q_data_quality_checks,
         "dedup_semantic_ivf": q_dedup_semantic_ivf,
     }
@@ -2039,6 +2040,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE qr <= 10
             GROUP BY source ORDER BY source
         """,
+        # epoch_shuffle: DuckDB replays the identical global permutation —
+        # lowercase-hex md5 sorts the same in both engines, and the
+        # bucket-decomposed Spark index equals a flat ORDER BY row_number
+        "epoch_shuffle": """
+            WITH p AS (
+              SELECT source, doc_id,
+                row_number() OVER (
+                  ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+                ) - 1 AS epoch_pos
+              FROM documents
+            )
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(epoch_pos) AS BIGINT) AS sum_pos,
+              CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+              CAST(SUM(epoch_pos * doc_id) AS BIGINT) AS perm_digest
+            FROM p GROUP BY source ORDER BY source
+        """,
         "data_quality_checks": """
             WITH v AS (
               SELECT 'not_null(doc_id)' AS "check",
@@ -2661,6 +2680,32 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_ids"),
             F.min("doc_id").cast("long").alias("min_id"),
             F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py::epoch_shuffle):
+    every document gets a 0-based global training-order position
+    following (md5(seed:doc_id), doc_id) — the reproducible per-epoch
+    permutation a training run consumes packed sequences in. No
+    single-partition sort: hex-prefix buckets + per-bucket windows +
+    broadcast cumulative offsets (same decomposition as the page
+    window). Output is a per-source digest of the FULL permutation
+    (count, position sum/min, and sum(pos*doc_id) — any reassignment of
+    positions across documents moves it), so the oracle verifies the
+    whole mapping, not a sample."""
+    from txtlogparser_spark.operators.sampling import epoch_shuffle
+
+    s = epoch_shuffle(_docs(spark, sf_dir), seed="epoch-0")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("epoch_pos").cast("long").alias("sum_pos"),
+            F.min("epoch_pos").cast("long").alias("first_pos"),
+            F.sum(F.col("epoch_pos") * F.col("doc_id")).cast("long").alias("perm_digest"),
         )
         .orderBy("source")
     )

@@ -335,6 +335,46 @@ class TestQuotaSample:
         assert a == b
 
 
+class TestEpochShuffle:
+    def test_permutation_matches_python_model_and_partitioning(self, spark):
+        """epoch_pos is a 0..n-1 permutation following (md5(seed:id), id),
+        identical to a pure-Python sort, identical across physical
+        partitionings, and different per seed."""
+        import hashlib
+
+        from txtlogparser_spark.operators.sampling import epoch_shuffle
+
+        rows = [(i, f"s{i % 3}") for i in range(97)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+        def model(seed):
+            order = sorted(
+                (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i)
+                for i, _ in rows
+            )
+            return {i: pos for pos, (_, i) in enumerate(order)}
+
+        got = {
+            r["doc_id"]: r["epoch_pos"]
+            for r in epoch_shuffle(df, seed="epoch-0").collect()
+        }
+        assert got == model("epoch-0")
+        assert sorted(got.values()) == list(range(97))
+
+        rep = {
+            r["doc_id"]: r["epoch_pos"]
+            for r in epoch_shuffle(df.repartition(13), seed="epoch-0").collect()
+        }
+        assert rep == got
+
+        other = {
+            r["doc_id"]: r["epoch_pos"]
+            for r in epoch_shuffle(df, seed="epoch-1").collect()
+        }
+        assert other == model("epoch-1")
+        assert other != got
+
+
 class TestCompaction:
     def test_write_compacted_reduces_files_and_sorts(self, spark, tmp_path):
         from txtlogparser_spark.sources.compact import write_compacted

@@ -110,6 +110,45 @@ def quota_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    seed: str = "epoch-0",
+    key: str = "doc_id",
+    out: str = "epoch_pos",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order permutation: assign every row
+    a 0-based `epoch_pos` following the total order (md5(seed ':' key),
+    key). Training runs consume packed sequences in a globally shuffled
+    order, and that order must be reproducible (resume mid-epoch, re-run
+    on a different cluster) and must change per epoch (vary `seed`).
+
+    Scale shape — NO single-partition sort or window: the first
+    `bucket_hex` hex chars of the shuffle hash are a PREFIX of the sort
+    key, so the 16^bucket_hex uniform buckets sort consistently with the
+    global hash order, and the index decomposes exactly like the page
+    window (`windowing.with_global_index`): a per-bucket parallel
+    row_number plus broadcast cumulative bucket offsets. Hot sources do
+    not exist here — md5 buckets are uniform by construction. At 100 TB
+    raise `bucket_hex` (3 → 4096 buckets, 4 → 65536) so each bucket's
+    window fits one task comfortably.
+
+    DuckDB-replayable: `row_number() OVER (ORDER BY md5(...), key) - 1`
+    produces the identical permutation (lowercase-hex md5 sorts the same
+    in both engines).
+    """
+    from txtlogparser_spark.operators.windowing import with_global_index
+
+    sk = F.md5(F.concat(F.lit(seed + ":"), F.col(key).cast("string")))
+    keyed = df.withColumn("_sk", sk).withColumn(
+        "_bkt", F.substring("_sk", 1, int(bucket_hex))
+    )
+    return (
+        with_global_index(keyed, "_bkt", ["_sk", key], out=out)
+        .drop("_sk", "_bkt")
+    )
+
+
 def train_eval_split(
     df: DataFrame,
     eval_frac: float,
