@@ -602,31 +602,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked: pairs are compared
     only within a blocking key (label) so the join shuffles on the block
     key and the per-block O(n²) stays bounded — the scalable blocked shape
-    of embedding dedup (ANN-LSH is the unblocked scale path, q_ann_lsh_topk)."""
+    of embedding dedup (ANN-LSH is the unblocked scale path, q_ann_lsh_topk).
+
+    Runs through operators.similarity.blocked_cosine_pairs (round-3
+    VERDICT #4): a hot label beyond max_block_rows is grid-decomposed
+    into bounded tasks (result identical), and a label distribution
+    implying more comparisons than the pair budget fails loudly instead
+    of going quadratic at 100×."""
+    from txtlogparser_spark.operators.similarity import blocked_cosine_pairs
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = e.select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("sim", dot / (norm(F.col("a.v")) * norm(F.col("b.v"))))
-        .where(F.col("sim") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("sim", 4).alias("sim_r"),
-        )
+        blocked_cosine_pairs(v, block_col="label", threshold=0.3)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1213,7 +1204,9 @@ def oracle_sql() -> dict[str, str]:
         # coarse quantizer, cell assignment (cosine argmax, tie → smaller
         # centroid index), 2-cell probes, and exact re-rank.
         "ann_ivf_topk": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])) > 0),
             c AS (SELECT vec_id, v FROM v WHERE vec_id >= 10),
             q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
             cents AS (
@@ -2089,7 +2082,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup_semantic_ivf: same deterministic quantizer replay as the
         # ann_ivf_topk oracle, then in-cell pairs over the threshold
         "dedup_semantic_ivf": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])) > 0),
             cents AS (
               SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
                      v AS cv
@@ -2666,8 +2661,10 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-quota sampling (operators/sampling.py::quota_sample): 10
     docs per source, chosen by md5-hash order — uniform without
     replacement, reproducible across runs/partitionings/cluster sizes.
-    One per-group window; the oracle replays the identical hash
-    ranking. Output is the per-source sampled id-set digest (count +
+    Hash-threshold prefilter bounds the per-group window to ~margin×N
+    survivors (no hot-source single-task rank); the oracle replays the
+    identical hash ranking over the full group — same selected set.
+    Output is the per-source sampled id-set digest (count +
     id-sum + min/max) so the driver verifies the SET, not a shape."""
     from txtlogparser_spark.operators.sampling import quota_sample
 

@@ -24,7 +24,14 @@ A/B adjudication later disproved). This sandbox is a shared VM, so:
   - each headline query runs twice (second run excludes first-iteration
     codegen/broadcast warmup) and reports the min;
   - raw trials + contention metadata ship in the JSON so a reviewer can
-    re-adjudicate instead of trusting one number.
+    re-adjudicate instead of trusting one number;
+  - (round-3 VERDICT #3) if ALL initial trials are dirty, the bench does
+    NOT ship a co-tenant measurement as the round artifact: it polls for
+    a quiet window (a short CPU-bound steal probe — steal only accrues
+    while our vCPUs are runnable, so an idle-box sample would read 0
+    even under heavy co-tenant load) and re-runs trials until at least
+    one clean trial exists or BENCH_CLEAN_RETRY_SEC (default 900) is
+    exhausted.
 
 The sequences table for the parse→route→aggregate leg is synthesized
 deterministically (seed 42) by the FIXTURES.md generator — no external
@@ -45,6 +52,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "2000000"))
 TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
+CLEAN_RETRY_SEC = float(os.environ.get("BENCH_CLEAN_RETRY_SEC", "900"))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
 
 
@@ -66,6 +74,18 @@ def _cpu_stat() -> tuple[int, int]:
     except Exception:
         return 0, 0
 
+
+
+def probe_steal(spark) -> float:
+    """CPU steal%% measured DURING a short all-core CPU-bound burst.
+    Steal accrues only while our vCPUs are runnable, so probing an idle
+    box would read ~0 under any co-tenant load — the probe must spin."""
+    tot0, st0 = _cpu_stat()
+    spark.range(0, 6_000_000 * CPUS, 1, CPUS).selectExpr(
+        "count_if(xxhash64(id) % 7 = 0)"
+    ).collect()
+    tot1, st1 = _cpu_stat()
+    return 100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
 
 
 HEADLINE = [
@@ -215,10 +235,13 @@ def main():
     pipe_trials: list[float] = []
     trial_meta: list[dict] = []
     rows = 0
-    for k in range(TRIALS):
+
+    def run_trial(k: int) -> None:
+        nonlocal rows
         load0 = _loadavg1()
         tot0, st0 = _cpu_stat()
-        rows, dt = run_pipeline_bench(spark)  # plan rebuilt fresh inside
+        r, dt = run_pipeline_bench(spark)  # plan rebuilt fresh inside
+        rows = r
         tot1, st1 = _cpu_stat()
         steal_pct = (
             100.0 * (st1 - st0) / (tot1 - tot0) if tot1 > tot0 else 0.0
@@ -237,15 +260,35 @@ def main():
                 "dirty": dirty,
             }
         )
-    clean = [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
+
+    for k in range(TRIALS):
+        run_trial(k)
+
+    def clean_trials() -> list[float]:
+        return [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
+
+    # all initial trials dirty → hunt for a quiet window instead of
+    # recording the co-tenant as the round number (round-3 VERDICT #3)
+    retries = 0
+    deadline = time.monotonic() + CLEAN_RETRY_SEC
+    while not clean_trials() and time.monotonic() < deadline:
+        st = probe_steal(spark)
+        if st > 2.0:
+            # contended right now: sleep out part of the budget and re-probe
+            time.sleep(min(30.0, max(1.0, deadline - time.monotonic())))
+            continue
+        retries += 1
+        run_trial(TRIALS + retries)
+
+    clean = clean_trials()
     if clean:
         pipe_sec, pipe_basis = statistics.median(clean), "median_clean"
     else:
-        # every trial ran under visible co-tenant steal: the median then
-        # measures the co-tenant twice over — the MIN trial is the
-        # defensible capability bound (noise only adds time), and the
-        # basis field plus per-trial steal records make the substitution
-        # auditable rather than silent
+        # every trial (including retries) ran under visible co-tenant
+        # steal: the median then measures the co-tenant twice over — the
+        # MIN trial is the defensible capability bound (noise only adds
+        # time), and the basis field plus per-trial steal records make
+        # the substitution auditable rather than silent
         pipe_sec, pipe_basis = min(pipe_trials), "min_all_trials_dirty"
     total += pipe_sec
 
@@ -264,6 +307,7 @@ def main():
                 "pipeline_sec_basis": pipe_basis,
                 "pipeline_trials": trial_meta,
                 "pipeline_trials_clean": len(clean),
+                "pipeline_clean_retries": retries,
                 "query_trials": query_trials,
                 "throughput_seq_per_sec": round(SEQ_ROWS / pipe_sec, 1),
                 "throughput_best_seq_per_sec": round(

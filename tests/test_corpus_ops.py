@@ -334,6 +334,44 @@ class TestQuotaSample:
         b = {r["doc_id"] for r in quota_sample(df.repartition(13), 7).collect()}
         assert a == b
 
+    def test_hot_group_prefilter_bounds_window_input(self, spark):
+        """Skew fixture (90% one source): the selected set equals the
+        naive full-group hash window, but the exact window only ever
+        sees the hash-threshold survivors — no task receives the whole
+        hot group (round-3 VERDICT #2)."""
+        import hashlib
+
+        from txtlogparser_spark.operators.sampling import quota_sample
+
+        hot = [(i, "hot") for i in range(9000)]
+        cold = [(100000 + i, f"s{i % 3}") for i in range(1000)]
+        df = spark.createDataFrame(hot + cold, ["doc_id", "source"])
+        out = quota_sample(df, 10)
+
+        def hx(i: int) -> str:
+            return "0" + hashlib.md5(f"quota-v1:{i}".encode()).hexdigest()[:8]
+
+        groups: dict = {}
+        for i, s in hot + cold:
+            groups.setdefault(s, []).append(i)
+        expect = {
+            (s, i)
+            for s, ids in groups.items()
+            for i in sorted(ids, key=lambda x: (hx(x), x))[:10]
+        }
+        got = {(r["source"], r["doc_id"]) for r in out.collect()}
+        assert got == expect
+
+        # the default margin's threshold keeps a tiny prefix of the hot
+        # group: replay the prefilter (md5 is fixed) and bound it
+        thr = format(int(min(1.0, 4.0 * 10 / 9000) * (1 << 32)), "09x")
+        survivors = sum(1 for i, _ in hot if hx(i) < thr)
+        assert 10 <= survivors < 9000 * 0.05
+        # and the executed plan windows over a _qthr-filtered child,
+        # not the raw input
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_qthr" in plan
+
 
 class TestEpochShuffle:
     def test_permutation_matches_python_model_and_partitioning(self, spark):
@@ -591,6 +629,69 @@ class TestSemanticDedup:
                     expect[(i, j)] = round(s, 4)
         assert got == expect
         assert (3, 7) in got  # the planted near-dup shares a cell (same direction)
+
+    def test_blocked_pairs_grid_decomposition_is_result_identical(self, spark):
+        """One dominant block forced through the G>1 grid path must
+        return EXACTLY the plain self-join's pairs (round-3 VERDICT #4:
+        hot-block protection without recall change)."""
+        import numpy as np
+        from txtlogparser_spark.operators.similarity import blocked_cosine_pairs
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, "hot" if i < 90 else f"b{i % 3}", [float(x) for x in rng.normal(size=4)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label string, v array<double>")
+
+        def pairs(max_block_rows):
+            return {
+                (r["vec_a"], r["vec_b"], round(r["sim"], 4))
+                for r in blocked_cosine_pairs(
+                    df, block_col="label", threshold=0.2,
+                    max_block_rows=max_block_rows,
+                ).collect()
+            }
+
+        plain = pairs(10_000)  # G == 1: plain self-join
+        grid = pairs(20)  # G == ceil(90/20) == 5: grid path
+        assert grid == plain and len(plain) > 0
+
+    def test_blocked_pairs_budget_guard_raises(self, spark):
+        from txtlogparser_spark.operators.similarity import blocked_cosine_pairs
+        import pytest as _pt
+
+        df = spark.createDataFrame(
+            [(i, "one", [1.0, 0.0]) for i in range(100)],
+            "vec_id long, label string, v array<double>",
+        )
+        with _pt.raises(RuntimeError, match="budget"):
+            blocked_cosine_pairs(
+                df, block_col="label", threshold=0.5, max_total_pairs=100
+            )
+
+    def test_semantic_dedup_hot_cell_grid_path_unchanged(self, spark):
+        """semantic_dedup_pairs with a tiny max_cell_rows (forcing the
+        grid decomposition) returns the identical pair set."""
+        import numpy as np
+        from txtlogparser_spark.operators.similarity import semantic_dedup_pairs
+
+        rng = np.random.default_rng(5)
+        vecs = [[float(x) for x in rng.normal(size=4)] for _ in range(60)]
+        vecs[9] = [x * 1.02 for x in vecs[4]]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+        )
+
+        def run(cap):
+            return {
+                (r["vec_a"], r["vec_b"], r["sim_r"])
+                for r in semantic_dedup_pairs(
+                    df, n_cells=4, threshold=0.9, max_cell_rows=cap
+                ).collect()
+            }
+
+        assert run(100_000) == run(5) and (4, 9, 1.0) in run(5)
 
     def test_components_nonconvergence_raises(self, spark):
         """A chain longer than max_iter hops must fail loudly, not

@@ -103,3 +103,44 @@ def test_rebatch_leaves_no_stale_sink_dirs(spark, tmp_path):
     r2 = CheckpointedRunner(spark, "runB", out)
     r2.run(sources, build, batch_size=4)  # 2 batches, different split
     assert r2.sink().count() == 24  # no duplicated rows from stale dirs
+
+
+def test_partial_source_invocation_keeps_done_dirs(spark, tmp_path):
+    """An invocation over a PARTIAL source list (only newly arrived
+    sources) must not delete completed batch dirs from prior
+    invocations — their lineage rows still read 'done' and sink() must
+    keep serving them (round-3 ADVICE, medium)."""
+    from txtlogparser_spark.plans.lineage import CheckpointedRunner
+
+    out = str(tmp_path / "out")
+
+    def build(batch):
+        return spark.createDataFrame(
+            [(f"{s}-{i}", s) for s in batch for i in range(3)],
+            "doc_id string, source string",
+        )
+
+    r1 = CheckpointedRunner(spark, "runA", out)
+    r1.run(["a", "b", "c", "d"], build, batch_size=2)  # 2 done batches
+    assert r1.sink().count() == 12
+
+    # later: only the new sources arrive
+    r2 = CheckpointedRunner(spark, "runB", out)
+    r2.run(["e", "f"], build, batch_size=2)
+    assert r2.sink().count() == 18  # prior done batches survived
+    # done rows across runs all still resolve to live dirs
+    done = {
+        r["batch"]
+        for r in r2.lineage().where("status = 'done'").select("batch").collect()
+    }
+    assert done == {"a,b", "c,d", "e,f"}
+
+    # a genuinely stale dir (never completed, not in this run) is removed
+    import os
+
+    stale = os.path.join(out, "sink", "batch=deadbeef0000")
+    os.makedirs(stale, exist_ok=True)
+    r3 = CheckpointedRunner(spark, "runC", out)
+    r3.run(["g", "h"], build, batch_size=2)
+    assert r3.sink().count() == 24
+    assert not os.path.isdir(stale)

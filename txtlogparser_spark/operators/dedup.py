@@ -419,6 +419,8 @@ def duplicate_components(
     distinct endpoint, (doc_id, group_rep). Deterministic: min-label is
     order-independent.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
     rev = pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     edges = fwd.union(rev).distinct().persist()
@@ -427,6 +429,7 @@ def duplicate_components(
     )
     labels.count()  # materialize before the loop re-reads it
     prev = labels
+    changed = 0  # an empty pairs frame is trivially converged
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels, "node")

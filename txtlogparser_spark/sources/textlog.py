@@ -82,15 +82,23 @@ def read_log_lines(
         # into ONE source while line_no stays per-file, and every
         # (source, line_no) keyed stage downstream (tokenize_via_join,
         # doc_id minting) would silently interleave their lines. The
-        # input file listing is driver-side metadata (no job): when
-        # stems collide, fall back to the full basename.
+        # input file listing is driver-side metadata (no job): ONLY the
+        # colliding stems fall back to the full basename — a global flip
+        # would rename every unrelated source (and its downstream
+        # doc_id / (source, line_no) keys) corpus-wide the moment one
+        # colliding pair appears anywhere in the input.
         basenames = {p.rstrip("/").rsplit("/", 1)[-1] for p in raw.inputFiles()}
-        stems = {b.rsplit(".", 1)[0] if "." in b else b for b in basenames}
+        stem_of = lambda b: b.rsplit(".", 1)[0] if "." in b else b  # noqa: E731
+        stem_count: dict = {}
+        for b in basenames:
+            stem_count[stem_of(b)] = stem_count.get(stem_of(b), 0) + 1
+        colliding = sorted(s for s, n in stem_count.items() if n > 1)
         base_expr = F.element_at(F.split(F.col("_file"), "/"), -1)
-        if len(stems) < len(basenames):
-            src = base_expr
+        stem_expr = F.regexp_replace(base_expr, r"\.[^.]*$", "")
+        if colliding:
+            src = F.when(stem_expr.isin(colliding), base_expr).otherwise(stem_expr)
         else:
-            src = F.regexp_replace(base_expr, r"\.[^.]*$", "")
+            src = stem_expr
     w = Window.partitionBy("_file").orderBy("_blk", "_mid")
     return (
         raw.withColumn("source", src)
