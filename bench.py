@@ -218,7 +218,10 @@ def main():
     query_trials: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = qs[name]
+        # tpch_pricing_summary / events_hourly were folded into
+        # relational_suite in the driver registry (50-slot cap) but their
+        # functions remain — the bench basis stays the identical plans
+        fn = qs.get(name) or getattr(entry_mod, f"q_{name}")
         ts = []
         for _ in range(2):  # 2nd run excludes per-plan codegen warmup
             # hermetic trials: operators may persist() small intermediates

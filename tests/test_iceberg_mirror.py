@@ -81,3 +81,78 @@ def test_mirror_mode_semantics(spark, tmp_path):
     assert read_sequences(spark, loc).count() == 6
     with pytest.raises(ValueError):
         write_sequences(_seqs(spark, "d"), loc, mode="error")
+
+
+class TestSnapshotTable:
+    """Snapshot-manifest emulation (round-3 VERDICT #6): time travel,
+    incremental scan, and reload semantics over the parquet mirror —
+    the call shapes the real Iceberg catalog serves via
+    snapshot-id / start-snapshot-id options."""
+
+    def _ids(self, df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    def test_append_time_travel_and_reload(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        s1 = t.append(_seqs(spark, "a", n=6))
+        s2 = t.append(_seqs(spark, "b", n=6))
+        assert (s1, s2) == (1, 2)
+        # latest sees both commits; time travel sees only the first
+        assert len(self._ids(t.read())) == 12
+        assert self._ids(t.read(s1)) == self._ids(_seqs(spark, "a", n=6))
+        # reload analog (OutputData.cpp:98-110): a later commit is
+        # visible to the next read without reconstructing the table
+        t.append(_seqs(spark, "c", n=3))
+        assert len(self._ids(t.read())) == 15
+
+    def test_overwrite_starts_fresh_chain(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        s1 = t.append(_seqs(spark, "a", n=6))
+        s2 = t.overwrite(_seqs(spark, "b", n=4))
+        s3 = t.append(_seqs(spark, "c", n=3))
+        assert len(self._ids(t.read())) == 7  # overwrite chain only
+        assert self._ids(t.read(s1)) == self._ids(_seqs(spark, "a", n=6))
+        assert len(self._ids(t.read(s2))) == 4
+        ops = {r["snapshot_id"]: r["op"] for r in t.manifest().collect()}
+        assert ops == {1: "append", 2: "overwrite", 3: "append"}
+
+    def test_incremental_scan(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        s1 = t.append(_seqs(spark, "a", n=6))
+        s2 = t.append(_seqs(spark, "b", n=6))
+        s3 = t.append(_seqs(spark, "c", n=3))
+        inc = t.incremental(s1)
+        assert self._ids(inc) == self._ids(
+            _seqs(spark, "b", n=6).unionByName(_seqs(spark, "c", n=3))
+        )
+        assert self._ids(t.incremental(s1, s2)) == self._ids(_seqs(spark, "b", n=6))
+        # empty window returns an empty frame with the table schema
+        assert t.incremental(s3).count() == 0
+        assert t.incremental(s3).columns == t.read().columns
+
+    def test_incremental_refuses_to_cross_overwrite(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        s1 = t.append(_seqs(spark, "a", n=6))
+        t.overwrite(_seqs(spark, "b", n=4))
+        with pytest.raises(ValueError, match="non-append"):
+            t.incremental(s1)
+
+    def test_unknown_snapshot_raises(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        with pytest.raises(ValueError, match="no commits"):
+            t.read()
+        t.append(_seqs(spark, "a", n=3))
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.read(99)
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.incremental(99)

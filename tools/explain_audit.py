@@ -31,13 +31,9 @@ AUDITED = [
     "log_nav_next",
     "log_nav_prev",
     "log_nav_search",
-    "tpch_pricing_summary",
-    "join_orders_per_nation",
-    "window_top3_orders",
+    "relational_suite",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "brand_revenue",
-    "events_hourly",
     "multimodal_features",
     "log_ingest_tokenize",
     "user_session_windows",
@@ -53,9 +49,8 @@ AUDITED = [
     "pack_chunks",
     "pack_greedy",
     "repetition_stats",
-    "token_length_stats",
+    "corpus_stats_suite",
     "corpus_funnel",
-    "vocab_top_words",
 ]
 # The curated list above orders the interesting plans first; every other
 # registered driver query is appended at runtime so the audit covers the

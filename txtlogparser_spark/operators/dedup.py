@@ -398,7 +398,8 @@ def simhash_candidate_pairs(
 def duplicate_components(
     pairs: DataFrame,
     max_iter: int = 50,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph → (doc_id,
     group_rep): every doc that appears in a verified duplicate pair is
@@ -409,11 +410,20 @@ def duplicate_components(
     list. Each round is ONE equi-join (labels ⋈ edges on node) + ONE
     groupBy-min — both shuffles on doc id, AQE-sized, no driver-side
     graph state; the only per-round driver traffic is a scalar
-    convergence count. Rounds needed = graph diameter, and near-dup
-    graphs are overwhelmingly tiny cliques/short chains (diameter ≤ a
-    few), so the loop terminates in a handful of rounds at any corpus
-    size. Lineage is truncated with localCheckpoint every
-    `checkpoint_every` rounds so plans don't grow unboundedly.
+    convergence count. With `shortcut` (default, round-3 VERDICT #7)
+    each round appends a POINTER-JUMPING step — labels re-join
+    themselves so every node adopts its label's label (path halving;
+    sound because labels only decrease and label(n) <= n, so
+    label(label(n)) <= label(n)) — which turns the round count from
+    O(diameter) into O(log diameter): a pathological duplicate CHAIN
+    converges in a handful of rounds instead of its length. Near-dup
+    graphs are overwhelmingly tiny cliques/short chains anyway; the
+    shortcut removes the adversarial tail. Convergence is still read
+    off the propagation step alone — its fixed point already means
+    labels are constant per component. Lineage is truncated with
+    localCheckpoint every `checkpoint_every` rounds so plans don't
+    grow unboundedly (default 2: the shortcut join adds a second
+    self-reference, so per-round plan growth is ~4x).
 
     Input: (doc_a, doc_b) pairs, doc_a < doc_b. Output: one row per
     distinct endpoint, (doc_id, group_rep). Deterministic: min-label is
@@ -448,6 +458,18 @@ def duplicate_components(
                 "chg"
             ),
         )
+        if shortcut:
+            # pointer jumping: adopt the label's own label. Every lab IS
+            # a node id (labels start as ids and only ever take existing
+            # label values), so the lookup is a plain equi-join on the
+            # same frame; chg stays the propagation step's flag — the
+            # jump only accelerates, never decides convergence.
+            lut = upd.select(F.col("node").alias("lab"), F.col("lab").alias("_lab2"))
+            upd = upd.join(lut, "lab", "left").select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("_lab2"), F.col("lab"))).alias("lab"),
+                "chg",
+            )
         # each round references the previous labels TWICE (the join and
         # the neighbor aggregate), so the LOGICAL plan doubles per round
         # even though execution reads the persisted cache — untruncated,

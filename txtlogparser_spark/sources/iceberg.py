@@ -62,3 +62,133 @@ def write_sequences(
             writer.append()
         return
     df.write.mode(mode).partitionBy("source").parquet(location)
+
+
+# ---------------------------------------------------------------- snapshots
+#
+# Snapshot-manifest emulation over the parquet mirror (round-3 VERDICT #6):
+# the sandbox has no Iceberg runtime, but the semantics the pipeline
+# depends on — atomic commits, time travel, incremental scans, reload
+# picking up concurrent commits (the Spark analog of the reference's
+# reload, OutputData.cpp:98-110) — are testable against a faithful
+# emulation: every commit writes an immutable snap-<id> data dir plus one
+# manifest row; readers resolve a snapshot to the dir chain since the
+# last overwrite, exactly how an Iceberg snapshot resolves its manifest
+# list. When the real runtime is present, callers switch to
+# `spark.read.format("iceberg").option("snapshot-id", ...)` /
+# `.option("start-snapshot-id", ...)` with identical call shapes.
+
+import os
+
+MANIFEST_SCHEMA = "snapshot_id long, parent_id long, op string, data_dir string"
+
+
+class SnapshotTable:
+    """Append/overwrite-committed parquet table with Iceberg-like
+    snapshot metadata. Manifest rows are per-commit driver-side metadata
+    (one row per commit — the same cardinality class as Iceberg's own
+    metadata files, never data-sized)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.manifest_dir = os.path.join(root, "manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ---- metadata ----
+    def manifest(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "unable to infer" in str(e).lower():
+                return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+            raise
+
+    def _rows(self) -> list:
+        return sorted(self.manifest().collect(), key=lambda r: r["snapshot_id"])
+
+    def current_snapshot(self) -> int | None:
+        rows = self._rows()
+        return rows[-1]["snapshot_id"] if rows else None
+
+    # ---- commits ----
+    def _commit(self, df: DataFrame, op: str) -> int:
+        import pyspark.sql.functions as F
+
+        cur = self.current_snapshot()
+        sid = (cur or 0) + 1
+        data_dir = os.path.join(self.root, f"snap-{sid:05d}")
+        writer = df.write.mode("error")
+        if "source" in df.columns:  # partition-spec parity with the mirror
+            writer = writer.partitionBy("source")
+        writer.parquet(data_dir)
+        row = self.spark.createDataFrame(
+            [(sid, cur, op, data_dir)], MANIFEST_SCHEMA
+        )
+        row.coalesce(1).write.mode("append").parquet(self.manifest_dir)
+        return sid
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df, "overwrite")
+
+    # ---- reads ----
+    def _chain(self, snapshot_id: int | None) -> list:
+        rows = self._rows()
+        if not rows:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        if snapshot_id is None:
+            snapshot_id = rows[-1]["snapshot_id"]
+        upto = [r for r in rows if r["snapshot_id"] <= snapshot_id]
+        if not upto or upto[-1]["snapshot_id"] != snapshot_id:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        # an overwrite replaces the table: its dir starts a fresh chain
+        start = 0
+        for i, r in enumerate(upto):
+            if r["op"] == "overwrite":
+                start = i
+        return upto[start:]
+
+    def _read_dirs(self, dirs: list) -> DataFrame:
+        # one read per snapshot dir, unioned: a multi-path read would
+        # run partition DISCOVERY across the snap-<id> roots and reject
+        # them as conflicting directory structures (each dir is its own
+        # partitioned dataset)
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [self.spark.read.parquet(d) for d in dirs],
+        )
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Table state AS OF a snapshot (time travel); latest if None."""
+        return self._read_dirs([r["data_dir"] for r in self._chain(snapshot_id)])
+
+    def incremental(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+        """Rows committed AFTER from_snapshot up to to_snapshot
+        (inclusive) — the Iceberg incremental-scan analog. Refuses to
+        cross an overwrite, matching Iceberg's append-only incremental
+        read restriction (an overwrite invalidates 'what changed since')."""
+        rows = self._rows()
+        ids = [r["snapshot_id"] for r in rows]
+        if from_snapshot not in ids:
+            raise ValueError(f"unknown snapshot {from_snapshot}")
+        if to_snapshot is None:
+            to_snapshot = ids[-1]
+        window = [
+            r for r in rows if from_snapshot < r["snapshot_id"] <= to_snapshot
+        ]
+        bad = [r["snapshot_id"] for r in window if r["op"] != "append"]
+        if bad:
+            raise ValueError(
+                f"incremental scan crosses non-append snapshot(s) {bad}; "
+                f"read a full snapshot instead"
+            )
+        if not window:
+            return self.read(to_snapshot).limit(0)
+        return self._read_dirs([r["data_dir"] for r in window])
