@@ -77,10 +77,19 @@ def single_partition_counts(df) -> tuple:
     killer = a full-table one-task funnel (rows flow through one task) —
     the 100-TB scale-killer; must be 0 (global indices use partitioned
     windows + broadcast offsets instead, operators/windowing.py).
-    benign = the final exchange of a SCALAR aggregate (child is a
-    partial HashAggregate/SortAggregate with no keys): it carries one
-    pre-aggregated row per upstream partition, bounded by the partition
-    count, which is how any global count/sum executes."""
+    benign (scalar-agg) = the final exchange of a SCALAR aggregate
+    (child is a HashAggregate/SortAggregate with no keys): it carries
+    one pre-aggregated row per upstream partition, bounded by the
+    partition count, which is how any global count/sum executes.
+    benign (bucket-dim) = the offsets cumsum of a two-level prefix-sum
+    decomposition (operators/packing.py::chunk_pack,
+    operators/windowing.py bucket indices): the child aggregate's keys
+    include a WIDTH-BOUNDED bucket column (`_pb`/`_bkt`, = key/2^20 or
+    a fixed hex prefix), so the exchange carries one row per bucket —
+    n/bucket_width metadata rows, raised with scale per the operator
+    docstrings. Detection is name-scoped to those repo-convention
+    columns on purpose: a generic keyed aggregate through
+    SinglePartition stays a killer."""
     text = plan_text(df, "simple")
     lines = text.splitlines()
     killer = benign = 0
@@ -89,11 +98,12 @@ def single_partition_counts(df) -> tuple:
             continue
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
         # keyless child aggregate = one pre-aggregated row per partition
-        # flows through the exchange, whether the child is the first
-        # partial or an intermediate merge of a distinct-agg plan
-        if re.search(
-            r"Aggregate\(key(s)?=\[\], functions=\[(partial_|merge_)", nxt
-        ):
+        # flows through the exchange (partial, merge, or an empty
+        # count-star stage that planned as functions=[])
+        if re.search(r"Aggregate\(key(s)?=\[\]", nxt):
+            benign += 1
+        # width-bounded bucket dim: child aggregate keyed on _pb/_bkt
+        elif re.search(r"Aggregate\(key(s)?=\[[^\]]*(_pb|_bkt)#", nxt):
             benign += 1
         else:
             killer += 1

@@ -203,6 +203,10 @@ def greedy_pack(
     """Next-fit packing manifest: (part_col, key, n_tok, bin_id,
     pos_in_bin, bin_fill_after). Docs longer than capacity get a bin of
     their own (never split, never dropped). Deterministic in key order.
+
+    (part_col, key) must be unique — like chunk_pack, tied keys would
+    get an engine-arbitrary relative order inside the stable mergesort,
+    making bin assignment ill-defined.
     """
     cap = int(capacity)
     part_type = df.schema[part_col].dataType.simpleString()
