@@ -110,10 +110,12 @@ class TestDivergences:
         assert re.search("x$", "x\nq") is None     # both: no match
 
     def test_possessive_and_atomic(self):
-        # Python 3.11+ supports possessive quantifiers / atomic groups;
-        # ECMAScript std::regex rejects them (regex_error → match nothing
-        # under compat). Engine behavior:
+        # Python 3.11+ reads a*+ as a POSSESSIVE quantifier (no
+        # backtracking); libstdc++ std::regex instead accepts it as a
+        # backtracking repeat of the quantified atom — (?:a*)+ — probed
+        # with tools/ecma_probe.cpp. Engine (python dialect) behavior:
         assert spans(r"a*+b", "aab") == [(0, 3)]
+        assert spans(r"a*+a", "aaa") == []  # possessive: never gives back
 
 
 class TestEcmaEmulation:
@@ -147,17 +149,93 @@ class TestEcmaEmulation:
             r"(?>ab)",       # atomic group
             r"(?(1)a|b)",    # conditional
             r"(?i)abc",      # inline flags
-            r"a*+b",         # possessive quantifier
-            r"a++",          # stacked +
-            r"a{2,3}+",      # possessive bounded repeat
             "a\\",           # trailing backslash
             "[ab",           # unterminated class
+            r"(a)\2",        # overflow backref (error_backref)
+            r"\1",           # backref with no groups
+            r"[\1]",         # in-class backref (Python: silent OCTAL!)
+            r"[\B]",         # in-class \B [libstdc++]
+            r"(?=a)*",       # quantified assertion (Python: silent!)
+            r"(?=a)?",       # quantified assertion (Python: silent!)
+            r"^*",           # quantified anchor
+            r"$+",           # quantified anchor
+            r"\b{2}",        # quantified word boundary
+            r"{2}",          # quantifier with no atom (Python: literal!)
+            r"a{,5}",        # invalid brace range (Python: literal!)
+            r"a{}",          # invalid brace range (Python: literal!)
+            r"a{x}",         # invalid brace range (Python: literal!)
+            r"a{2,1}",       # reversed brace range
+            r"a{2",          # unterminated brace range (Python: literal!)
+            r"\c",           # trailing \c (error_escape)
+            "(",             # unbalanced parens (error_paren)
+            ")",
         ],
     )
     def test_reference_rejects(self, pattern):
-        # std::regex throws regex_error at construction for all of these.
+        # std::regex throws regex_error at construction for all of these
+        # (each probed with tools/ecma_probe.cpp against GCC 12
+        # libstdc++). The entries marked "Python: silent/literal" are the
+        # dangerous ones — Python `re` ACCEPTS them with a different
+        # meaning, so without the emulation the filter would match spans
+        # where the reference claims none.
         with pytest.raises((EcmaRegexError, re.error)):
             compile_ecma(pattern)
+
+    def test_stacked_quantifiers_backtrack(self):
+        # libstdc++ ACCEPTS a*+ / a++ / a{m,n}+ / a** as a quantifier
+        # applied to the quantified atom WITH normal backtracking
+        # (probed: 'a*+ab' matches "aaab" whole). Python ≥3.11 reads the
+        # same spelling as a POSSESSIVE quantifier that never gives
+        # back. The translator restores the reference meaning by
+        # wrapping non-capturingly.
+        assert ecma_to_python(r"a*+") == "(?:a*)+"
+        assert ecma_to_python(r"a**") == "(?:a*)*"
+        assert self.espans(r"a*+ab", "aaab") == [(0, 4)]
+        assert self.espans(r"a*+a", "aaa") == [(0, 3)]
+        assert spans(r"a*+a", "aaa") == []  # Python possessive: no match
+        assert self.espans(r"a++b", "aaab") == [(0, 4)]
+        assert self.espans(r"a{1,2}+", "aaa") == [(0, 3)]
+        assert self.espans(r"(a)*+", "aa")[0] == (0, 2)
+        # lazy markers are part of ONE quantifier, not stacking:
+        assert self.espans(r"a*?", "aaa")[0] == (0, 0)
+        # ...but a second '?' after a lazy quantifier stacks: (?:a*?)?
+        assert self.espans(r"a*??", "aaa")[0] == (0, 0)
+
+    def test_non_boundary_empty(self):
+        # ECMA \B holds wherever BOTH neighbors agree — including both
+        # string edges of the empty string (probed: std::regex \B
+        # matches "" at 0). Python's \B deliberately never matches ""
+        # — the emulation expands \B to the ECMA lookaround definition.
+        assert re.search(r"\B", "", re.ASCII) is None  # Python policy
+        assert compile_ecma(r"\B").search("").span() == (0, 0)
+        assert compile_ecma(r"\B").search("ab").span() == (1, 1)
+        assert compile_ecma(r"\B").search(" a").span() == (0, 0)
+
+    def test_hex_escape_is_one_atom(self):
+        # \x41{2}+ must quantify the WHOLE hex escape — the stacked-
+        # quantifier wrap once split it into \x4 + (?:1{2})+ (caught by
+        # the libstdc++ differential fuzz, test_ecma_differential.py)
+        assert ecma_to_python(r"\x41{2}+") == r"(?:\x41{2})+"
+        assert self.espans(r"\x41{2}+", "AAAA") == [(0, 4)]
+        assert ecma_to_python(r"A{2}") == r"A{2}"
+
+    def test_octal_nul_arbitration(self):
+        # ECMA DecimalEscape: \0 is NUL and following digits stay
+        # LITERAL (\012 = NUL '1' '2'); Python reads octal (\012 =
+        # '\n'). Probed: std::regex '\012' matches NUL+"12", not "\n".
+        assert ecma_to_python(r"\0") == r"\x00"
+        assert self.espans("\\012", "\x0012") == [(0, 3)]
+        assert self.espans("\\012", "\n12") == []
+        assert spans(r"\012", "\n12") == [(0, 1)]  # Python: octal newline
+        # in-class: \0 is the NUL member, digits are literal members
+        assert self.espans(r"[\012]+", "\x0012x") == [(0, 3)]
+
+    def test_stacked_quantifier_via_matcher(self):
+        # Same workspace, opposite outcomes per dialect: Python reads
+        # a*+a possessively (never matches), std::regex backtracks.
+        spec = FilterSpec(302, 0, r"a*+a", regex=True)
+        assert spec.compiled().search("aaa") is None
+        assert spec.compiled(dialect="ecmascript").search("aaa").span() == (0, 3)
 
     def test_rejected_pattern_claims_nothing_via_matcher(self):
         # MatcherSpec reproduces the reference's catch-and-log: a pattern
@@ -187,11 +265,17 @@ class TestEcmaEmulation:
         assert self.espans("a[]b", "a]b") == []
         assert self.espans("a[^]b", "a\nb") == [(0, 3)]
 
-    def test_annex_b_literal_braces(self):
-        # Non-quantifier braces are literals in ECMA (Annex B); escaped
-        # so Python ≥3.12 can't reinterpret '{,5}' as '{0,5}'.
-        assert self.espans("a{,5}", "xa{,5}y") == [(1, 6)]
+    def test_brace_ranges_strict(self):
+        # [libstdc++] a '{' after an atom MUST open a valid range —
+        # a{,5} / a{} / a{x} are regex_error (probed), NOT Annex-B
+        # literals as Python reads them; a lone '}' IS a literal in
+        # both. Valid quantifier shapes pass through.
+        with pytest.raises(EcmaRegexError):
+            compile_ecma("a{,5}")
         assert self.espans("a{2,3}", "aaaa") == [(0, 3)]  # real quantifier kept
+        assert self.espans("a{2,}", "aaaa") == [(0, 4)]
+        assert self.espans("x{0}", "y") == [(0, 0), (1, 1)]
+        assert self.espans("a}b", "xa}b") == [(1, 4)]  # lone '}' literal
 
     def test_identity_escapes(self):
         # \<letter> outside the shared special set is an identity escape
@@ -206,9 +290,17 @@ class TestEcmaEmulation:
             re.compile(r"\q")  # Python rejects what std::regex accepts
 
     def test_control_escape(self):
-        # \cA is the control character U+0001 in ECMA; Python has no \c
-        assert compile_ecma(r"\cA").search("x\x01y").span() == (1, 2)
-        assert ecma_to_python(r"\cA") == r"\x01"
+        # [libstdc++] GCC's std::regex does NOT implement ECMA control
+        # escapes: \cX matches the LITERAL character X (probed: \cA
+        # matches 'A' not \x01, \c8 matches '8', case-sensitively).
+        # Python has no \c at all ("bad escape").
+        assert ecma_to_python(r"\cA") == "A"
+        assert compile_ecma(r"\cA").search("x\x01y") is None
+        assert self.espans(r"\cA", "baAc") == [(2, 3)]
+        assert self.espans(r"\c8", "c*8") == [(2, 3)]
+        assert self.espans(r"[\cA]+", "cAAa") == [(1, 3)]
+        with pytest.raises(EcmaRegexError):
+            compile_ecma("\\c")  # trailing \c: error_escape
 
     def test_icase_is_bytewise(self):
         # icase folding under re.ASCII stays byte-wise like the "C"
@@ -231,15 +323,19 @@ from hypothesis import strategies as st
 # corpus entry): on these, translation must be a semantic no-op.
 _AGREE_ATOMS = [
     "a", "b", "Q", "1", "_", ".", r"\d", r"\D", r"\w", r"\W", r"\s",
-    r"\S", r"\b", r"\B", "^", r"\x41", r"\.", r"\\", r"\t", r"\n",
+    r"\S", r"\b", "^", r"\x41", r"\.", r"\\", r"\t", r"\n",
     "[ab]", "[^a]", "[a-c]", "[a1_]", r"[\d]", r"[^\w]",
+    # NOT here: \B — Python's \B never matches the empty string while
+    # ECMA's does (both edges non-word) — see test_non_boundary_empty
 ]
-# Valid-ECMA atoms that DIVERGE (each backed by a corpus entry above):
-# bare $, empty classes, Annex-B literal braces, identity escapes,
-# control escapes. The translator must stay TOTAL over these.
+# Atoms that DIVERGE or REJECT (each backed by a corpus entry above):
+# bare $, empty classes, identity escapes, control escapes (rewritten);
+# invalid brace shapes ('{x', '{,5}') now raise EcmaRegexError
+# [libstdc++]. The translator must stay TOTAL over these: translate,
+# raise EcmaRegexError, or fail with an error BOTH grammars share.
 _ECMA_ATOMS = _AGREE_ATOMS + [
     "$", "[]", "[^]", "}", r"\Z", r"\A", r"\q", r"\E", r"\cA", r"\cz",
-    r"[\Z]", "{x", "{,5}",
+    r"[\Z]", "{x", "{,5}", r"\0", r"\012", r"\B",
 ]
 _QUANTS = ["", "*", "+", "?", "{1,2}", "{2}", "*?", "+?", "??"]
 
@@ -273,11 +369,18 @@ class TestTranslatorProperties:
         except re.error:
             return
         try:
+            trans = ecma_to_python(pat)
             emu = compile_ecma(pat)
         except EcmaRegexError:
-            # translator may reject what Python accepts (e.g. possessive
-            # '*+' via quantifier stacking) — never the other way: that
-            # is pinned by test_reference_rejects
+            # translator may reject what Python accepts (quantified
+            # assertions, invalid brace ranges) — never the other way:
+            # that is pinned by test_reference_rejects
+            return
+        if "(?:" in trans and "(?:" not in pat:
+            # stacked-quantifier wrap: the SAME spelling means possessive
+            # in Python but a backtracking repeat in std::regex — a
+            # documented divergence (test_stacked_quantifiers_backtrack),
+            # so span equality with the raw-Python compile cannot hold
             return
         text = data.draw(
             st.text(alphabet="abQ1_ .\t\nxZ", min_size=0, max_size=12)

@@ -115,8 +115,6 @@ class SnapshotTable:
 
     # ---- commits ----
     def _commit(self, df: DataFrame, op: str) -> int:
-        import pyspark.sql.functions as F
-
         cur = self.current_snapshot()
         sid = (cur or 0) + 1
         data_dir = os.path.join(self.root, f"snap-{sid:05d}")
