@@ -1000,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": q_data_quality_checks,
         "dedup_semantic_ivf": q_dedup_semantic_ivf,
         "epoch_pack_assemble": q_epoch_pack_assemble,
+        "ivf_kmeans_refine": q_ivf_kmeans_refine,
     }
 
 
@@ -2153,6 +2154,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, ROUND(sim, 4) AS sim_r
             FROM pairs WHERE sim >= 0.4 ORDER BY vec_a, vec_b
         """,
+        # ivf_kmeans_refine: exact replay of 2 Lloyd iterations. Means
+        # are computed over fixed-point quantized components
+        # (floor(x*2^24+0.5) summed as exact integers — hugeint here,
+        # decimal(38,0) in Spark), so the sums are order-insensitive
+        # and the centroid doubles come out bit-identical in both
+        # engines; assignment ties break (sim DESC, cent ASC) exactly
+        # like ivf_assign. An emptied cell keeps its previous centroid
+        # (scalar subquery returns NULL -> COALESCE), matching
+        # kmeans_refine's fallback.
+        "ivf_kmeans_refine": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])) > 0),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent,
+                     v AS cv
+              FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+            ),
+            a1 AS (
+              SELECT vec_id, v, cent FROM (
+                SELECT v.vec_id, v.v, c0.cent,
+                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                    list_dot_product(v.v, c0.cv)
+                      / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c0.cv, c0.cv))) DESC,
+                    c0.cent ASC) AS rn
+                FROM v CROSS JOIN c0) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT cent, idx,
+                SUM(CAST(floor(v[idx] * 16777216.0 + 0.5) AS HUGEINT)) AS s,
+                COUNT(*) AS n
+              FROM a1, unnest(range(1, len(v) + 1)) AS t(idx)
+              GROUP BY cent, idx
+            ),
+            c1 AS (
+              SELECT c0.cent,
+                COALESCE(
+                  (SELECT list(CAST(m1.s AS DOUBLE) / (CAST(m1.n AS DOUBLE) * 16777216.0)
+                               ORDER BY m1.idx)
+                   FROM m1 WHERE m1.cent = c0.cent),
+                  c0.cv) AS cv
+              FROM c0
+            ),
+            a2 AS (
+              SELECT vec_id, v, cent FROM (
+                SELECT v.vec_id, v.v, c1.cent,
+                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                    list_dot_product(v.v, c1.cv)
+                      / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c1.cv, c1.cv))) DESC,
+                    c1.cent ASC) AS rn
+                FROM v CROSS JOIN c1) WHERE rn = 1
+            ),
+            m2 AS (
+              SELECT cent, idx,
+                SUM(CAST(floor(v[idx] * 16777216.0 + 0.5) AS HUGEINT)) AS s,
+                COUNT(*) AS n
+              FROM a2, unnest(range(1, len(v) + 1)) AS t(idx)
+              GROUP BY cent, idx
+            ),
+            c2 AS (
+              SELECT c1.cent,
+                COALESCE(
+                  (SELECT list(CAST(m2.s AS DOUBLE) / (CAST(m2.n AS DOUBLE) * 16777216.0)
+                               ORDER BY m2.idx)
+                   FROM m2 WHERE m2.cent = c1.cent),
+                  c1.cv) AS cv
+              FROM c1
+            ),
+            af AS (
+              SELECT vec_id, cent FROM (
+                SELECT v.vec_id, c2.cent,
+                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                    list_dot_product(v.v, c2.cv)
+                      / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
+                    c2.cent ASC) AS rn
+                FROM v CROSS JOIN c2) WHERE rn = 1
+            )
+            SELECT af.cent AS cell, COUNT(*) AS n_rows,
+              ROUND(sqrt(list_dot_product(any_value(c2.cv), any_value(c2.cv))), 6) AS cnorm_r
+            FROM af JOIN c2 ON c2.cent = af.cent
+            GROUP BY af.cent ORDER BY cell
+        """,
         # relational_suite: the ten former standalone relational demos,
         # replayed verbatim as CTEs and unpivoted to the same
         # (section, grp, metric, val) long format as the Spark side
@@ -3051,3 +3134,36 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(v, n_cells=8, threshold=0.4).orderBy(
         "vec_a", "vec_b"
     )
+
+
+def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means refinement of the IVF coarse quantizer
+    (operators/similarity.py::kmeans_refine) + per-cell balance stats
+    (ivf_cell_stats): 2 iterations over the md5-seeded centroids, then
+    (cell, n_rows, centroid-norm) — the evidence artifact for cell
+    balance, the scale risk of every cell-blocked operator
+    (semantic_dedup_pairs' per-cell verify is quadratic in the hottest
+    cell). Distributed k-means is normally irreproducible (float sums
+    depend on partition order); here per-cell sums run over fixed-point
+    quantized components (floor(x*2^24+0.5) as exact decimals), so
+    every iteration is bit-identical across partitionings AND across
+    engines — the DuckDB oracle replays both iterations exactly.
+    At 100 TB: train on a hash_sample; each iteration is one map-side
+    assign pass + a shuffle of n_cells×(dim+1) decimals."""
+    from txtlogparser_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_centroids,
+        kmeans_refine,
+        nonzero_vectors,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = nonzero_vectors(
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
+        "v",
+    )
+    cents = kmeans_refine(v, ivf_centroids(v, 8), iters=2)
+    return ivf_cell_stats(v, cents).orderBy("cell")

@@ -293,6 +293,114 @@ def ivf_assign(cents: list, *, vec: str, nprobe: int = 1) -> Column:
     )
 
 
+# fixed-point scale for k-means partial sums: components are quantized
+# to floor(x * 2^24 + 0.5) BIGINTs before aggregation, so the per-cell
+# sum is integer-exact and ORDER-INSENSITIVE — the usual float-sum
+# nondeterminism across shuffle partitions (and across engines) is what
+# makes distributed k-means irreproducible; integer sums make every
+# Lloyd iteration bit-identical between Spark and the DuckDB oracle.
+# Headroom: |x| ≤ ~1 embeddings give |q| ≤ ~2^24, so a 64-bit partial
+# holds ~2^39 rows per partition; the Spark-side sum is computed in
+# decimal(38,0) (DuckDB: hugeint) so the global per-cell sum is exact
+# to ~10^38 rows. Precision loss vs true means is ~2^-24 per component
+# — invisible next to embedding noise.
+KMEANS_FIXED_POINT_SCALE = 1 << 24
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: list,
+    iters: int = 2,
+    *,
+    cvec: str = "v",
+    scale: int = KMEANS_FIXED_POINT_SCALE,
+) -> list:
+    """Lloyd's k-means refinement of a coarse quantizer, Spark-native
+    and engine-portable (bit-reproducible in DuckDB — see
+    KMEANS_FIXED_POINT_SCALE).
+
+    Per iteration: every corpus vector is assigned map-side to its
+    nearest current centroid (cosine argmax over inlined literals —
+    `ivf_assign`, zero shuffle), then the new centroid is the
+    component-wise mean of its members, computed as exact fixed-point
+    integer sums: groupBy(cell).agg(count, sum(q_0..q_{dim-1})) — one
+    shuffle of n_cells × (dim+1) exact decimals per iteration,
+    independent of corpus size. A cell that loses all members keeps its
+    previous centroid (deterministic; no re-seeding RNG).
+
+    At 100 TB the quantizer is trained on a deterministic hash-sample
+    (`hash_sample`) — Lloyd cost is iters × one corpus pass over the
+    SAMPLE, and the refined centroids fix the md5-seeded quantizer's
+    unproven cell balance (a hot cell makes `semantic_dedup_pairs`'
+    per-cell verify quadratic in the hot cell; refined centroids split
+    dense regions by construction).
+
+    Returns the refined centroid list (n_cells × dim Python floats,
+    exact repr round-trip like `ivf_centroids`).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not cents:
+        raise ValueError("kmeans_refine needs at least one seed centroid")
+    dim = len(cents[0])
+    fscale = float(scale)
+    # quantized components: exact integers, order-insensitive sums
+    qcols = [
+        F.floor(F.col(cvec)[i] * F.lit(fscale) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias(f"_q{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = corpus.select(
+            ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("_cell"), *qcols
+        )
+        agg = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(f"_q{i}").alias(f"_s{i}") for i in range(dim)],
+        )
+        rows = {r["_cell"]: r for r in agg.collect()}
+        new_cents = []
+        for c, old in enumerate(cents):
+            r = rows.get(c)
+            if r is None or r["_n"] == 0:
+                new_cents.append(list(old))  # empty cell: keep centroid
+            else:
+                n = float(r["_n"])
+                new_cents.append(
+                    [float(r[f"_s{i}"]) / (n * fscale) for i in range(dim)]
+                )
+        cents = new_cents
+    return cents
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    cents: list,
+    *,
+    cvec: str = "v",
+) -> DataFrame:
+    """Per-cell occupancy + centroid norm for a quantizer: the balance
+    evidence artifact (a hot cell is the scale risk of every
+    cell-blocked operator). Map-side assign + one tiny groupBy; output
+    is n_cells rows. Cells with no members are absent (counts only)."""
+    assigned = corpus.select(ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("cell"))
+    norms = {
+        c: math.sqrt(sum(x * x for x in cent)) for c, cent in enumerate(cents)
+    }
+    norm_arr = (
+        "array(" + ", ".join(f"cast({norms[c]!r} as double)" for c in range(len(cents))) + ")"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "cnorm_r",
+            F.round(F.expr(f"element_at({norm_arr}, cell + 1)"), 6),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -300,6 +408,7 @@ def ivf_topk(
     *,
     n_cells: int = 8,
     nprobe: int = 2,
+    refine_iters: int = 0,
     qid: str = "query_id",
     cid: str = "vec_id",
     qvec: str = "qv",
@@ -315,6 +424,8 @@ def ivf_topk(
     queries = nonzero_vectors(queries, qvec)
     corpus = nonzero_vectors(corpus, cvec)
     cents = ivf_centroids(corpus, n_cells, cid=cid, cvec=cvec)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, refine_iters, cvec=cvec)
     assigned = corpus.select(
         cid, cvec, ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("_cell")
     )
@@ -455,6 +566,7 @@ def semantic_dedup_pairs(
     *,
     n_cells: int = 8,
     threshold: float = 0.95,
+    refine_iters: int = 0,
     cid: str = "vec_id",
     cvec: str = "v",
     max_cell_rows: int = 100_000,
@@ -480,6 +592,8 @@ def semantic_dedup_pairs(
     frame at 100 TB)."""
     corpus = nonzero_vectors(corpus, cvec)
     cents = ivf_centroids(corpus, n_cells, cid=cid, cvec=cvec)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, refine_iters, cvec=cvec)
     assigned = corpus.select(
         cid, cvec, ivf_assign(cents, vec=cvec, nprobe=1)[0].alias("_cell")
     )
