@@ -507,3 +507,82 @@ def duplicate_components(
     # pinning one dead O(#docs-in-pairs) frame per call
     prev.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_rep"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    keep_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the CCNet/RefinedWeb
+    line/paragraph-dedup stage): a paragraph occurring in many
+    documents survives only at its FIRST occurrence (smallest
+    (id, position)); later copies are dropped and the documents are
+    reassembled in original paragraph order.
+
+    Output: (id_col, clean_text, n_kept, n_dropped) — one row per input
+    document (a fully-boilerplate document reassembles to '' when
+    keep_empty_docs).
+
+    100 TB shape — two shuffles, both skew-proof:
+    1. keeper election: groupBy(md5(paragraph)).agg(min(struct(id,
+       pos))) — partial aggregation combines map-side, so a boilerplate
+       paragraph with 10^9 copies still ships ONE (digest, min-pair)
+       row per map partition (a row_number window over the digest
+       would funnel every copy through one task — same trap as
+       quota_sample's fixed hot-group window).
+    2. reassembly: groupBy(id) over KEPT paragraphs — bounded by
+       single-document size by construction.
+    The keeper join is a broadcast-unfriendly equi-join on
+    (digest, id, pos) against the exploded table: at most one shuffle
+    of (digest, id, pos, paragraph) rows, proportional to corpus text.
+
+    md5 keeper election is engine-portable: the whole operator replays
+    in DuckDB/ANSI SQL (string_agg ORDER BY pos) — parity pinned in
+    tests/test_paragraph_dedup.py.
+    """
+    import re as _re
+
+    i, t = F.col(id_col), F.col(text_col)
+    # split takes a REGEX; escape the separator so it splits literally
+    # (mirrors DuckDB's non-regex string_split in the oracle)
+    paras = docs.select(
+        i.alias("_id"), F.posexplode(F.split(t, _re.escape(sep), -1))
+    ).toDF("_id", "_pos", "_para")
+    # keeper per distinct paragraph: min (id, pos) — struct min orders
+    # lexicographically, matching the SQL oracle's (ORDER BY id, pos)
+    keepers = (
+        paras.groupBy(F.md5("_para").alias("_dig"))
+        .agg(F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_k"))
+        .select("_dig", F.col("_k._id").alias("_kid"), F.col("_k._pos").alias("_kpos"))
+    )
+    kept = paras.join(
+        keepers,
+        (F.md5(paras["_para"]) == keepers["_dig"])
+        & (paras["_id"] == keepers["_kid"])
+        & (paras["_pos"] == keepers["_kpos"]),
+        "left_semi",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    out = totals.join(rebuilt, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+    )
+    if not keep_empty_docs:
+        out = out.where(F.col("n_kept") > 0)
+    return out
