@@ -1,0 +1,134 @@
+"""bpe_train / bpe_segment (operators/bpe.py) vs a pure-Python
+reference implementation of classic word-frequency BPE (Sennrich et
+al. 2016). Determinism claims: integer pair counts, (count DESC, pair
+ASC) tie-break, left-to-right merge application — the Spark merge list
+must equal the reference model's exactly, at any partitioning."""
+
+import pytest
+
+from txtlogparser_spark.operators.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_train,
+    word_freq_table,
+)
+
+CORPUS = [
+    (1, "low low low lower lower"),
+    (2, "newest newest newest widest"),
+    (3, "low newest the the the the"),
+]
+
+
+def _py_word_freq(docs):
+    freq = {}
+    for _, text in docs:
+        for w in text.lower().split():
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    return freq
+
+
+def _py_apply(syms, left, right):
+    out = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _py_bpe(docs, n_merges, min_pair_count=2):
+    freq = _py_word_freq(docs)
+    words = {w: (list(w) + [EOW], n) for w, n in freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((rank, left, right, c))
+        words = {
+            w: (_py_apply(syms, left, right), n)
+            for w, (syms, n) in words.items()
+        }
+    return merges
+
+
+class TestBpeTrain:
+    def _df(self, spark, docs=CORPUS):
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_word_freq_table(self, spark):
+        got = {
+            r["word"]: r["n"]
+            for r in word_freq_table(self._df(spark)).collect()
+        }
+        assert got == _py_word_freq(CORPUS)
+
+    def test_merges_match_python_model(self, spark):
+        got = bpe_train(self._df(spark), 12)
+        want = _py_bpe(CORPUS, 12)
+        assert got == want
+        # the corpus genuinely yields learnable merges
+        assert len(got) >= 8
+        # ranks are sequential and counts non-increasing never guaranteed
+        # (BPE counts can rise after merges) — but ranks must be 0..k-1
+        assert [m[0] for m in got] == list(range(len(got)))
+
+    def test_partition_invariance(self, spark):
+        df = self._df(spark)
+        a = bpe_train(df.repartition(1), 6)
+        b = bpe_train(df.repartition(5, "doc_id"), 6)
+        assert a == b
+
+    def test_early_stop_on_min_pair_count(self, spark):
+        # tiny corpus: once every remaining pair is a singleton, stop
+        df = self._df(spark, [(1, "ab ab cd")])
+        merges = bpe_train(df, 50, min_pair_count=2)
+        want = _py_bpe([(1, "ab ab cd")], 50, min_pair_count=2)
+        assert merges == want
+        assert len(merges) < 50
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            bpe_train(self._df(spark), -1)
+
+    def test_segment_replays_merges(self, spark):
+        df = self._df(spark)
+        merges = bpe_train(df, 10)
+        seg = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(df, merges).collect()
+        }
+        # python replay: per word, chars+EOW then merges in rank order
+        freq_words = {}
+        for doc_id, text in CORPUS:
+            toks = []
+            for w in text.lower().split():
+                syms = list(w) + [EOW]
+                for _, left, right, _c in merges:
+                    syms = _py_apply(syms, left, right)
+                toks.extend(syms)
+            freq_words[doc_id] = toks
+        assert seg == freq_words
+        # every EOW-terminated piece boundary survives: token stream of
+        # doc 1 must reconstruct its words
+        joined = "".join(seg[1]).replace(EOW, " ").strip()
+        assert joined == "low low low lower lower"
+
+    def test_learned_units_are_sensible(self, spark):
+        """'low' repeated 4x and 'newest' 4x: BPE must learn 'low</w>'
+        and 'est</w>' units within 12 merges."""
+        merges = bpe_train(self._df(spark), 12)
+        formed = {left + right for _, left, right, _c in merges}
+        assert "low" + EOW in formed or "low" in formed
+        assert any(u.endswith("est" + EOW) or u == "est" for u in formed)
