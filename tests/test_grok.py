@@ -69,6 +69,40 @@ class TestGrokCompile:
         with pytest.raises(GrokError, match="duplicate"):
             grok_compile("%{INT:a} %{INT:a}")
 
+    def test_capturing_group_in_literal_text_rejected(self):
+        # '(a|b)' in the literal part would shift every field's group
+        with pytest.raises(GrokError, match="capturing group in pattern literal"):
+            grok_compile("(a|b)%{INT:n}")
+        grok_compile("(?:a|b)%{INT:n}")  # non-capturing fine
+
+    def test_named_groups_are_capturing(self):
+        # (?P<x>...) and (?<x>...) capture despite the '(?' spelling
+        with pytest.raises(GrokError, match="capturing"):
+            grok_compile("%{H:f}", extra_patterns={"H": r"(?P<h>x|y)z"})
+        with pytest.raises(GrokError, match="capturing"):
+            grok_compile("%{H:f}", extra_patterns={"H": r"(?<h>x|y)z"})
+        # lookbehinds do NOT capture and stay allowed
+        grok_compile("%{H:f}", extra_patterns={"H": r"(?<=a)b(?<!c)"})
+
+    def test_malformed_token_rejected_not_silently_literal(self):
+        with pytest.raises(GrokError, match="malformed"):
+            grok_compile("%{INT:x:str} done")  # bad type suffix
+        with pytest.raises(GrokError, match="malformed"):
+            grok_compile("%{int:x}")  # lowercase name never parses
+
+    def test_hostname_is_linear_on_long_unmatched_tokens(self):
+        """The old ((label)?\\.?)+ spelling was catastrophic in Java's
+        backtracker; a long alnum run with a failing suffix must
+        return (not hang) quickly."""
+        import re as _re
+        import time
+
+        g = grok_compile("%{HOSTNAME:h}:%{POSINT:port}")
+        line = "x" * 300 + " no port here"
+        t0 = time.perf_counter()
+        assert _re.search(g.regex, line) is None
+        assert time.perf_counter() - t0 < 1.0
+
 
 class TestGrokExtract:
     def _df(self, spark):
@@ -125,6 +159,52 @@ class TestGrokExtract:
         ).fetchall():
             drows[rid] = (client, user, method, status, size)
         assert srows == drows
+
+    def test_field_column_collision_raises(self, spark):
+        df = self._df(spark)
+        with pytest.raises(GrokError, match="collide"):
+            grok_extract(df, "%{WORD:line} %{INT:n}")  # 'line' is the source col
+        with pytest.raises(GrokError, match="collide"):
+            grok_extract(df, "%{INT:id}")  # existing column
+
+    def test_sentinel_delimiter_row_falls_back_correctly(self, spark):
+        """A line containing the internal join delimiter must extract
+        via the per-field fallback with identical values."""
+        from txtlogparser_spark.functions.grok import _DELIM
+
+        rows = [
+            (1, f"10.0.0.1 - alice 200 junk{_DELIM}tail"),
+            (2, "10.0.0.2 - bob 404"),
+        ]
+        df = spark.createDataFrame(rows, "id long, line string")
+        out = {
+            r["id"]: (r["client"], r["st"])
+            for r in grok_extract(
+                df, "%{IPV4:client} - %{USERNAME:u} %{INT:st:int}"
+            ).select("id", "client", "st").collect()
+        }
+        assert out == {1: ("10.0.0.1", 200), 2: ("10.0.0.2", 404)}
+
+    def test_multiline_and_null_lines(self, spark):
+        rows = [(1, "prefix\n10.9.9.9 - x 200\nsuffix"), (2, None)]
+        df = spark.createDataFrame(rows, "id long, line string")
+        out = {
+            r["id"]: (r["client"], r["st"])
+            for r in grok_extract(
+                df, "%{IPV4:client} - %{USERNAME:u} %{INT:st:int}"
+            ).select("id", "client", "st").collect()
+        }
+        assert out == {1: ("10.9.9.9", 200), 2: (None, None)}
+
+    def test_more_than_nine_fields_group_refs(self, spark):
+        """$10+ replacement refs must parse as multi-digit groups."""
+        pat = " ".join(f"%{{INT:f{i}:int}}" for i in range(12))
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i * 11) for i in range(12)))],
+            "id long, line string",
+        )
+        r = grok_extract(df, pat).collect()[0]
+        assert [r[f"f{i}"] for i in range(12)] == [i * 11 for i in range(12)]
 
     def test_timestamp_and_loglevel_patterns(self, spark):
         df = spark.createDataFrame(

@@ -30,15 +30,16 @@ DOCS = [
     # empty text = one empty paragraph; it dedups corpus-wide too
     (5, ""),
     (6, ""),
+    # NULL text counts as '' — the doc must still get its output row
+    (7, None),
 ]
 
 
 def _python_model(docs, sep="\n\n"):
+    docs = [(d, t if t is not None else "") for d, t in docs]  # NULL == ''
     seen = {}
-    paras = []
     for doc_id, text in sorted(docs):
         for pos, para in enumerate(text.split(sep)):
-            paras.append((doc_id, pos, para))
             seen.setdefault(para, (doc_id, pos))
     out = {}
     for doc_id, text in docs:
@@ -72,7 +73,8 @@ class TestParagraphDedup:
             """
             WITH p AS (
               SELECT doc_id, idx - 1 AS pos, parts[idx] AS para
-              FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+              FROM (SELECT doc_id,
+                           string_split(COALESCE(text, ''), chr(10) || chr(10)) AS parts
                     FROM docs),
                    unnest(range(1, len(parts) + 1)) AS t(idx)
             ),
@@ -112,6 +114,8 @@ class TestParagraphDedup:
         # empty paragraph dedups corpus-wide like any other
         assert got[5] == ("", 1, 0)
         assert got[6] == ("", 0, 1)
+        # NULL text: doc keeps its output row (counted as '')
+        assert got[7] == ("", 0, 1)
 
     def test_keep_empty_docs_false_drops_hollow_docs(self, spark):
         df = spark.createDataFrame(DOCS, "doc_id long, text string")

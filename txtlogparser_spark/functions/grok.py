@@ -39,7 +39,12 @@ GROK_PATTERNS: dict = {
     "USER": r"%{USERNAME}",
     "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
     "IP": r"%{IPV4}",
-    "HOSTNAME": r"(?:[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,62})?\.?)+",
+    # dot-separated labels with a REQUIRED '.' between them: the naive
+    # ((label)?\.?)+ spelling has exponentially many decompositions of a
+    # plain alphanumeric run and sends Java's backtracker catastrophic
+    # on long unmatched tokens (RE2/DuckDB is immune, so the oracle side
+    # would never reproduce the hang)
+    "HOSTNAME": r"[a-zA-Z0-9][a-zA-Z0-9-]{0,62}(?:\.[a-zA-Z0-9][a-zA-Z0-9-]{0,62})*\.?",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
     "LOGLEVEL": (
@@ -96,8 +101,18 @@ def _has_capturing_group(body: str) -> bool:
                 in_class = False
         elif ch == "[":
             in_class = True
-        elif ch == "(" and not body.startswith("(?", i):
-            return True
+        elif ch == "(":
+            if not body.startswith("(?", i):
+                return True
+            # named groups are CAPTURING despite the '(?' spelling:
+            # (?P<x>...) (Python) and (?<x>...) (Java; but NOT the
+            # lookbehinds (?<= / (?<!) would shift group indices too
+            if body.startswith("(?P<", i):
+                return True
+            if body.startswith("(?<", i) and not (
+                body.startswith("(?<=", i) or body.startswith("(?<!", i)
+            ):
+                return True
         i += 1
     return False
 
@@ -127,10 +142,29 @@ def _expand(name: str, defs: dict, stack: tuple) -> str:
     return _SYNTAX.sub(sub, body)
 
 
+def _check_literal(segment: str) -> str:
+    """Literal (non-%{...}) pattern text is kept verbatim as regex, per
+    grok convention — but it must not capture (index-shift) and must
+    not contain a leftover '%{' (a malformed token that _SYNTAX could
+    not parse — e.g. a bad type suffix or lowercase name — would
+    otherwise silently become never-matching literal text)."""
+    if _has_capturing_group(segment):
+        raise GrokError(
+            f"capturing group in pattern literal {segment!r}; use (?:...)"
+        )
+    m = re.search(r"(?<!\\)%\{", segment)
+    if m:
+        raise GrokError(
+            f"malformed grok token at {segment[m.start():][:40]!r}"
+        )
+    return segment
+
+
 def grok_compile(pattern: str, *, extra_patterns: dict | None = None) -> CompiledGrok:
     """Compile grok syntax to (java_regex, ordered fields). Literal text
     between %{...} tokens is kept verbatim (it is already regex, per
-    grok convention — escape regex metachars yourself, as in logstash)."""
+    grok convention — escape regex metachars yourself, as in logstash);
+    it may not contain capturing groups or malformed %{...} tokens."""
     defs = dict(GROK_PATTERNS)
     if extra_patterns:
         defs.update(extra_patterns)
@@ -138,7 +172,7 @@ def grok_compile(pattern: str, *, extra_patterns: dict | None = None) -> Compile
     out = []
     last = 0
     for m in _SYNTAX.finditer(pattern):
-        out.append(pattern[last : m.start()])
+        out.append(_check_literal(pattern[last : m.start()]))
         body = _expand(m.group("name"), defs, ())
         if m.group("field"):
             fields.append((m.group("field"), _CASTS[m.group("type") or "string"]))
@@ -146,7 +180,7 @@ def grok_compile(pattern: str, *, extra_patterns: dict | None = None) -> Compile
         else:
             out.append("(?:" + body + ")")
         last = m.end()
-    out.append(pattern[last:])
+    out.append(_check_literal(pattern[last:]))
     regex = "".join(out)
     names = [f for f, _ in fields]
     if len(set(names)) != len(names):
@@ -158,6 +192,12 @@ def grok_compile(pattern: str, *, extra_patterns: dict | None = None) -> Compile
     return CompiledGrok(regex=regex, fields=tuple(fields))
 
 
+# multi-char delimiter for the single-pass extraction join: two NULs
+# around a record separator — absent from any sane log line; rows that
+# DO contain it fall back to per-field regexp_extract (correct, slower)
+_DELIM = "\x00\x1e\x00"
+
+
 def grok_extract(
     df: DataFrame,
     pattern: str,
@@ -166,19 +206,44 @@ def grok_extract(
     extra_patterns: dict | None = None,
     keep_unmatched: bool = True,
 ) -> DataFrame:
-    """Append one column per grok field — `regexp_extract(col, regex,
-    i+1)` with the declared cast. Map-side Catalyst only: the regex is
-    evaluated JVM-side inside whole-stage codegen (the engine CSEs the
-    shared regex match across groups); at 100 TB this is a pure scan
-    stage, shuffle-free. Unmatched lines yield NULL fields (and are
-    dropped entirely with keep_unmatched=False)."""
+    """Append one column per grok field. Map-side Catalyst only,
+    shuffle-free; the hot path runs the compiled regex exactly TWICE
+    per row regardless of field count — one `rlike` + one
+    `regexp_replace` that rewrites the line to all group values joined
+    by a sentinel delimiter, which a cheap `split` then fans out to the
+    fields. (Per-field `regexp_extract` would be one full regex
+    execution per field: the group index differs, so Catalyst's
+    subexpression elimination cannot merge them. The shared
+    rlike/replace/split subtrees here are identical across fields and
+    ARE eliminated to one evaluation.) A row containing the sentinel
+    itself falls back to per-field regexp_extract — same values, never
+    corrupted. Unmatched lines yield NULL fields (or are dropped with
+    keep_unmatched=False). Field names must not collide with existing
+    columns (silent withColumn replacement would corrupt later
+    extractions)."""
     g = grok_compile(pattern, extra_patterns=extra_patterns)
+    clash = [f for f, _ in g.fields if f in df.columns]
+    if clash:
+        raise GrokError(
+            f"grok fields {clash} collide with existing columns "
+            f"(including col={col!r}); rename the fields"
+        )
     c = F.col(col)
-    out = df
     matched = c.rlike(g.regex)
+    # anchor with [\s\S] (not DOTALL '.') so embedded newlines cannot
+    # leave residue around the rewritten match
+    wrapped = r"^[\s\S]*?" + g.regex + r"[\s\S]*$"
+    repl = _DELIM.join(f"${i + 1}" for i in range(len(g.fields)))
+    parts = F.split(F.regexp_replace(c, wrapped, repl), re.escape(_DELIM), -1)
+    exprs = []
     for i, (field, cast) in enumerate(g.fields):
-        e = F.when(matched, F.regexp_extract(c, g.regex, i + 1))
-        out = out.withColumn(field, e.cast(cast) if cast else e)
+        e = (
+            F.when(~matched, F.lit(None).cast("string"))
+            .when(c.contains(_DELIM), F.regexp_extract(c, g.regex, i + 1))
+            .otherwise(F.element_at(parts, i + 1))
+        )
+        exprs.append((e.cast(cast) if cast else e).alias(field))
+    out = df.select("*", *exprs)
     if not keep_unmatched:
         out = out.where(matched)
     return out

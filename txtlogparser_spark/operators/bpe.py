@@ -111,6 +111,10 @@ def bpe_train(
     cur = words.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("n")
     ).localCheckpoint()
+    prev_ckpt = cur  # superseded checkpoints are unpersisted below —
+    # otherwise every cadence pins a dead copy of the word table in
+    # executor storage for the job's lifetime (same convention as
+    # dedup.duplicate_components)
 
     merges = []
     for rank in range(n_merges):
@@ -142,8 +146,12 @@ def bpe_train(
         cur = cur.select(_apply_merge(F.col("syms"), left, right).alias("syms"), "n")
         if (rank + 1) % checkpoint_every == 0:
             # truncate the per-iteration plan growth (same pattern as
-            # duplicate_components' cadence checkpoint)
+            # duplicate_components' cadence checkpoint), then release
+            # the superseded checkpoint's storage
             cur = cur.localCheckpoint()
+            prev_ckpt.unpersist()
+            prev_ckpt = cur
+    prev_ckpt.unpersist()
     return merges
 
 

@@ -546,7 +546,10 @@ def paragraph_dedup(
     """
     import re as _re
 
-    i, t = F.col(id_col), F.col(text_col)
+    # NULL text counts as '' (one empty paragraph) so the one-row-per-
+    # input-document contract holds — split(NULL) is NULL and a bare
+    # posexplode would silently drop the document
+    i, t = F.col(id_col), F.coalesce(F.col(text_col), F.lit(""))
     # split takes a REGEX; escape the separator so it splits literally
     # (mirrors DuckDB's non-regex string_split in the oracle)
     paras = docs.select(

@@ -69,17 +69,25 @@ def bigram_lm_train(
 ) -> tuple:
     """One corpus pass -> (bigram_counts, context_counts, vocab_size).
 
-    bigram_counts: (prev, word, c) integer co-occurrence counts;
-    context_counts: (prev, n) total continuations of each context;
+    bigram_counts: (prev, word, c) integer co-occurrence counts —
+    PERSISTED (model-table-sized; caller unpersists when done);
+    context_counts: (prev, n) total continuations of each context,
+    derived from the model table (sum of c), not a corpus re-scan;
     vocab_size: |distinct words| + 1 (BOS) — the add-k denominator
-    term. All integer aggregations with map-side partials.
+    term. All integer aggregations with map-side partials; the corpus
+    itself is scanned exactly once (materializing bigram_counts).
     """
     pairs = _exploded_bigrams(docs, None, text_col, lowercase)
-    bigram_counts = pairs.groupBy("prev", "word").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE corpus pass: only bigram_counts touches the corpus (persisted,
+    # materialized by the vocab count below); context totals and the
+    # vocab size are derived from the model TABLE, not re-scans
+    bigram_counts = (
+        pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c")).persist()
     )
-    context_counts = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n"))
-    vocab_size = pairs.select("word").distinct().count() + 1
+    vocab_size = bigram_counts.select("word").distinct().count() + 1
+    context_counts = bigram_counts.groupBy("prev").agg(
+        F.sum("c").alias("n")
+    )
     return bigram_counts, context_counts, vocab_size
 
 
