@@ -125,6 +125,25 @@ class TestBpeTrain:
         joined = "".join(seg[1]).replace(EOW, " ").strip()
         assert joined == "low low low lower lower"
 
+    def test_segment_pandas_parity(self, spark):
+        """The Arrow-vectorized rank-priority segmenter must produce
+        exactly the Catalyst fold chain's output (rank-priority ==
+        rank-order replay: a merge can only create pairs of HIGHER
+        rank, so priority order never reorders applications)."""
+        from txtlogparser_spark.operators.bpe import bpe_segment_pandas
+
+        df = self._df(spark)
+        merges = bpe_train(df, 10)
+        a = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(df, merges).collect()
+        }
+        b = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment_pandas(df, merges).collect()
+        }
+        assert a == b
+
     def test_learned_units_are_sensible(self, spark):
         """'low' repeated 4x and 'newest' 4x: BPE must learn 'low</w>'
         and 'est</w>' units within 12 merges."""

@@ -206,6 +206,45 @@ class TestGrokExtract:
         r = grok_extract(df, pat).collect()[0]
         assert [r[f"f{i}"] for i in range(12)] == [i * 11 for i in range(12)]
 
+    def test_streaming_grok(self, spark, tmp_path):
+        """grok_extract is a stateless map stage, so it must compose
+        with Structured Streaming unchanged (readStream -> extract ->
+        memory sink) and match the batch result."""
+        import json
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"id": i, "line": l}) for i, l in LINES)
+        )
+        sdf = (
+            spark.readStream.schema("id long, line string")
+            .json(str(src))
+        )
+        out = grok_extract(sdf, ACCESS, keep_unmatched=False)
+        q = (
+            out.select("id", "client", "status")
+            .writeStream.format("memory")
+            .queryName("grok_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            r["id"]: (r["client"], r["status"])
+            for r in spark.sql("SELECT * FROM grok_stream").collect()
+        }
+        batch = {
+            r["id"]: (r["client"], r["status"])
+            for r in grok_extract(
+                spark.createDataFrame(LINES, "id long, line string"),
+                ACCESS,
+                keep_unmatched=False,
+            ).collect()
+        }
+        assert got == batch and set(got) == {1, 2, 4}
+
     def test_timestamp_and_loglevel_patterns(self, spark):
         df = spark.createDataFrame(
             [

@@ -178,3 +178,62 @@ def bpe_segment(
         return acc
 
     return df.withColumn(out_col, F.flatten(F.transform(syms, seg)))
+
+
+def bpe_segment_pandas(
+    df: DataFrame,
+    merges: list,
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Arrow-vectorized segmentation for REAL merge lists: the Catalyst
+    fold chain in `bpe_segment` nests one `aggregate` per merge —
+    fine for tens of merges, but a production tokenizer has thousands,
+    which blows codegen into interpreted mode. This path ships the
+    merge table once per executor and applies it per Arrow batch with
+    the standard rank-priority algorithm (repeatedly merge the
+    lowest-rank adjacent pair — equivalent to replaying merges in rank
+    order, because ranks are globally consistent). Still map-only:
+    zero shuffle, one mapInArrow-style pass; parity with the Catalyst
+    path is pinned in tests."""
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    rank = {(l, r): i for i, l, r, _c in merges}
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_schema}, `{out_col}` array<string>"
+
+    def _seg_word(word: str) -> list:
+        syms = list(word) + [EOW]
+        # rank-priority merging: at each step merge the lowest-rank
+        # adjacent pair present; identical result to rank-order replay
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                rk = rank.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, best_i = rk, i
+            if best is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def _run(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            toks = []
+            for t in texts:
+                t = "" if t is None else (t.lower() if lowercase else t)
+                row = []
+                for w in t.split():
+                    if w:
+                        row.extend(_seg_word(w))
+                toks.append(row)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(_run, schema)
