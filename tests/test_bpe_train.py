@@ -144,6 +144,29 @@ class TestBpeTrain:
         }
         assert a == b
 
+    def test_segment_pandas_parity_null_and_unicode_ws(self, spark):
+        """The two segmenters must also agree on NULL text (both NULL)
+        and non-ASCII whitespace (Java \\s is ASCII-only, so NBSP does
+        NOT split — Python str.split() would)."""
+        from txtlogparser_spark.operators.bpe import bpe_segment_pandas
+
+        train = self._df(spark)
+        merges = bpe_train(train, 6)
+        docs = [(1, None), (2, "low\u00a0low"), (3, "low low")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(df, merges).collect()
+        }
+        b = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment_pandas(df, merges).collect()
+        }
+        assert a == b
+        assert a[1] is None
+        # NBSP glues the words into ONE token stream unit
+        assert a[2] != a[3]
+
     def test_learned_units_are_sensible(self, spark):
         """'low' repeated 4x and 'newest' 4x: BPE must learn 'low</w>'
         and 'est</w>' units within 12 merges."""

@@ -89,6 +89,9 @@ class TestGrokCompile:
             grok_compile("%{INT:x:str} done")  # bad type suffix
         with pytest.raises(GrokError, match="malformed"):
             grok_compile("%{int:x}")  # lowercase name never parses
+        # ... and inside definition bodies too
+        with pytest.raises(GrokError, match="malformed.*definition"):
+            grok_compile("%{H:f}", extra_patterns={"H": "%{int:x}y"})
 
     def test_hostname_is_linear_on_long_unmatched_tokens(self):
         """The old ((label)?\\.?)+ spelling was catastrophic in Java's

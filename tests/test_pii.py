@@ -14,6 +14,7 @@ DOCS = [
     (4, "clean text with number 12345678 and date 2026-08-18"),
     (5, "two mails: a@b.io c@d.org; ip 8.8.8.8"),
     (6, ""),
+    (7, None),  # NULL text: zero counts + '' output, row kept
 ]
 
 
@@ -44,6 +45,9 @@ class TestRedactPii:
         # an IP is counted once as IP, never again as phone
         assert got[5] == (2, 1, 0, "two mails: |||EMAIL||| |||EMAIL|||; ip |||IP|||")
         assert got[6] == (0, 0, 0, "")
+        # NULL text counts as '' (the paragraph_dedup convention) —
+        # a downstream where(n_email = 0) keeps the doc
+        assert got[7] == (0, 0, 0, "")
 
     def test_duckdb_parity(self, spark):
         got = self._run(spark)
@@ -53,7 +57,7 @@ class TestRedactPii:
         con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
         rows = con.execute(
             """
-            WITH s0 AS (SELECT doc_id, text AS t FROM d),
+            WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM d),
             s1 AS (SELECT doc_id,
                      len(regexp_extract_all(t, ?)) AS n_email,
                      regexp_replace(t, ?, '|||EMAIL|||', 'g') AS t
@@ -91,3 +95,13 @@ class TestRedactPii:
         assert [c for c in out.columns if c.startswith("n_")] == []
         r = {x["doc_id"]: x["clean_text"] for x in out.collect()}
         assert r[2] == "server <IP> replied; backup at <IP>"
+
+    def test_token_with_replacement_metachars(self, spark):
+        """'$' and '\\' in token_format must come out literal — Java's
+        replacement string treats them as group refs/escapes."""
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        out = redact_pii(
+            df, kinds=("IP",), token_format="$1\\{kind}$", with_counts=False
+        )
+        r = {x["doc_id"]: x["clean_text"] for x in out.collect()}
+        assert r[2] == "server $1\\IP$ replied; backup at $1\\IP$"

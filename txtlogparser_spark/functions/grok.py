@@ -43,7 +43,10 @@ GROK_PATTERNS: dict = {
     # ((label)?\.?)+ spelling has exponentially many decompositions of a
     # plain alphanumeric run and sends Java's backtracker catastrophic
     # on long unmatched tokens (RE2/DuckDB is immune, so the oracle side
-    # would never reproduce the hang)
+    # would never reproduce the hang). Labels cap at 63 chars — the RFC
+    # 1035 limit, same cap logstash's HOSTNAME ships — so a longer
+    # machine-generated label extracts as its 63-char prefix (matching
+    # grok convention) rather than the whole token.
     "HOSTNAME": r"[a-zA-Z0-9][a-zA-Z0-9-]{0,62}(?:\.[a-zA-Z0-9][a-zA-Z0-9-]{0,62})*\.?",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
@@ -139,7 +142,17 @@ def _expand(name: str, defs: dict, stack: tuple) -> str:
             )
         return "(?:" + _expand(m.group("name"), defs, stack + (name,)) + ")"
 
-    return _SYNTAX.sub(sub, body)
+    out = _SYNTAX.sub(sub, body)
+    # a %{...} that _SYNTAX could not parse (bad type suffix, lowercase
+    # name) would otherwise become never-matching literal regex text —
+    # the same silent-literal trap _check_literal closes at top level
+    m = re.search(r"(?<!\\)%\{", out)
+    if m:
+        raise GrokError(
+            f"malformed grok token in definition %{{{name}}} at "
+            f"{out[m.start():][:40]!r}"
+        )
+    return out
 
 
 def _check_literal(segment: str) -> str:

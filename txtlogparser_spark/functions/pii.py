@@ -61,7 +61,10 @@ def redact_pii(
         raise ValueError(
             f"unknown PII kinds {sorted(unknown)}; known: {[k for k, _ in PII_PATTERNS]}"
         )
-    cur = F.col(text_col)
+    # NULL text counts as '' (0 redactions, '' output) — same contract
+    # as paragraph_dedup; a bare regexp_count/replace would propagate
+    # NULL counts and silently fail downstream n_<kind>=0 gates
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for kind in order:
         pat = known[kind]
@@ -69,5 +72,10 @@ def redact_pii(
             counts.append(
                 F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind.lower()}")
             )
-        cur = F.regexp_replace(cur, pat, token_format.format(kind=kind))
+        # Java replacement-string metachars: '$' is a group ref and '\'
+        # an escape — quote them (Matcher.quoteReplacement semantics)
+        # so a custom token_format like '$$${kind}' is literal
+        token = token_format.format(kind=kind)
+        token = token.replace("\\", "\\\\").replace("$", "\\$")
+        cur = F.regexp_replace(cur, pat, token)
     return df.select("*", *counts, cur.alias(out_col))

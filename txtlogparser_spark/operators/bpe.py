@@ -108,13 +108,18 @@ def bpe_train(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     words = word_freq_table(docs, text_col=text_col, lowercase=lowercase)
-    cur = words.select(
-        _initial_symbols(F.col("word")).alias("syms"), F.col("n")
-    ).localCheckpoint()
-    prev_ckpt = cur  # superseded checkpoints are unpersisted below —
-    # otherwise every cadence pins a dead copy of the word table in
-    # executor storage for the job's lifetime (same convention as
-    # dedup.duplicate_components)
+    # lazy localCheckpoint (plan truncation) + persist (the releasable
+    # cache layer: unpersist() frees CacheManager-registered storage,
+    # whereas a checkpoint's raw RDD blocks are only GC-collected) —
+    # the exact duplicate_components recipe. Materialize BEFORE any
+    # older cache is dropped; superseded frames are unpersisted below.
+    cur = (
+        words.select(_initial_symbols(F.col("word")).alias("syms"), F.col("n"))
+        .localCheckpoint(eager=False)
+        .persist()
+    )
+    cur.count()
+    prev_ckpt = cur
 
     merges = []
     for rank in range(n_merges):
@@ -145,10 +150,12 @@ def bpe_train(
         merges.append((rank, left, right, c))
         cur = cur.select(_apply_merge(F.col("syms"), left, right).alias("syms"), "n")
         if (rank + 1) % checkpoint_every == 0:
-            # truncate the per-iteration plan growth (same pattern as
-            # duplicate_components' cadence checkpoint), then release
-            # the superseded checkpoint's storage
-            cur = cur.localCheckpoint()
+            # truncate the per-iteration plan growth, materialize the
+            # new cache, THEN release the superseded one (dropping it
+            # first would force a recompute through the truncated —
+            # and possibly GC'd — old checkpoint)
+            cur = cur.localCheckpoint(eager=False).persist()
+            cur.count()
             prev_ckpt.unpersist()
             prev_ckpt = cur
     prev_ckpt.unpersist()
@@ -221,14 +228,25 @@ def bpe_segment_pandas(
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    import re as _re
+
+    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+    # splits on Unicode whitespace ( , 　, ...) — parity with
+    # the Catalyst path requires the Java class
+    java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _run(batches):
         for pdf in batches:
             texts = pdf[text_col]
             toks = []
             for t in texts:
-                t = "" if t is None else (t.lower() if lowercase else t)
+                if t is None:
+                    # Catalyst path: split(NULL) propagates to NULL
+                    toks.append(None)
+                    continue
+                t = t.lower() if lowercase else t
                 row = []
-                for w in t.split():
+                for w in java_ws.split(t):
                     if w:
                         row.extend(_seg_word(w))
                 toks.append(row)
