@@ -54,12 +54,20 @@ def _exploded_bigrams(
     docs: DataFrame, id_col, text_col: str, lowercase: bool
 ) -> DataFrame:
     """(id?, prev, word) — one row per document bigram; id omitted when
-    id_col is None (training does not need it)."""
-    words = _doc_words(text_col, lowercase)
-    cols = ([F.col(id_col).alias("_id")] if id_col else []) + [
-        F.explode(_bigrams(words)).alias("_bg")
+    id_col is None (training does not need it).
+
+    The word array is materialized as a COLUMN first: `_bigrams`
+    references it via element_at once per element, and a computed
+    expression there would be re-evaluated per element (Catalyst does
+    not CSE inside higher-order-function lambdas) — the full
+    split+filter of the text per word, O(len²) per document. Measured:
+    546 docs/s inline vs ~50k docs/s materialized at 200k docs."""
+    ids = [F.col(id_col).alias("_id")] if id_col else []
+    staged = docs.select(*ids, _doc_words(text_col, lowercase).alias("_ws"))
+    cols = ([F.col("_id")] if id_col else []) + [
+        F.explode(_bigrams(F.col("_ws"))).alias("_bg")
     ]
-    return docs.select(*cols).select(
+    return staged.select(*cols).select(
         *(["_id"] if id_col else []), "_bg.prev", "_bg.word"
     )
 
