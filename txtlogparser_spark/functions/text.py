@@ -82,17 +82,28 @@ _POLY_MOD = 1_000_000_007
 _POLY_BASE = 31
 
 
+# char codes as a bigint array in ONE O(len) pass: split('') walks the
+# string once, vs substring(t, i, 1) which SEEKS from the string start
+# per call (UTF8String counts chars byte-by-byte) — the substring form
+# made every whole-string scan O(len²). limit=-1 matters: it makes
+# split('') of '' yield [] (unlimited split yields [''] -> a bogus 0).
+def _char_codes(text_col: str) -> str:
+    return (
+        f"transform(split({text_col}, '', -1), "
+        "c -> CAST(ascii(c) AS BIGINT))"
+    )
+
+
 def rolling_hash(text_col: str = "text") -> Column:
     """Polynomial rolling hash of the whole document (Rabin-Karp form:
     h = (h*31 + byte) mod 1e9+7). Pure Catalyst higher-order functions —
-    whole-stage-codegen, no UDF; reproducible in ANSI SQL (list_reduce)."""
+    whole-stage-codegen, no UDF; reproducible in ANSI SQL (list_reduce).
+    O(len): one split pass + one fold (empty text folds to the 0 seed,
+    same value the old length-guard special-cased)."""
     return F.expr(
-        f"""CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE
-            aggregate(
-              transform(sequence(1, length({text_col})),
-                        i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)),
+        f"""aggregate({_char_codes(text_col)},
               CAST(0 AS BIGINT),
-              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD}) END"""
+              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD})"""
     )
 
 
@@ -100,23 +111,53 @@ def min_kgram_hash(text_col: str = "text", k: int = 8) -> Column:
     """Winnowing-style content fingerprint: minimum polynomial hash over
     all k-char grams (the rolling-window form of document fingerprinting;
     near-identical docs share the minimizing gram). Falls back to the
-    whole-doc hash for texts shorter than k."""
-    gram = (
-        f"aggregate(transform(sequence(CAST(i AS INT) + 1, CAST(i AS INT) + {k}), "
-        f"j -> CAST(ascii(substring({text_col}, j, 1)) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD})"
-    )
+    whole-doc hash for texts shorter than k.
+
+    Single-pass rolling fold, O(len·k): the accumulator carries the
+    last <k char codes, the running window hash, and the min — the
+    incoming char extends the hash and the outgoing char's k-1-power
+    term is subtracted (mod-safe via +M·31 headroom before %). The
+    previous spelling re-hashed every gram from scratch through
+    per-char substring seeks — O(len²·k) on long documents. Gram
+    values (and therefore the min and the DuckDB oracle) are identical:
+    the window hash equals the same polynomial mod 1e9+7."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # 31^(k-1) mod M — the outgoing char's coefficient
+    p = pow(_POLY_BASE, k - 1, _POLY_MOD)
+    codes = _char_codes(text_col)
+    if k == 1:
+        # degenerate window: each gram hash IS the char code mod M
+        return F.expr(
+            f"""CASE WHEN length({text_col}) < 1 THEN CAST(0 AS BIGINT)
+                ELSE array_min({codes}) END"""
+        )
     return F.expr(
         f"""CASE WHEN length({text_col}) < {k} THEN
-            CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE
-            aggregate(
-              transform(sequence(1, length({text_col})),
-                        i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)),
+            aggregate({codes},
               CAST(0 AS BIGINT),
-              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD}) END
+              (a, x) -> (a * {_POLY_BASE} + x) % {_POLY_MOD})
             ELSE
-            array_min(transform(sequence(0, length({text_col}) - {k}),
-                                i -> {gram}))
+            aggregate(
+              {codes},
+              named_struct('win', CAST(array() AS ARRAY<BIGINT>),
+                           'h', CAST(0 AS BIGINT),
+                           'mn', CAST({_POLY_MOD} AS BIGINT)),
+              (acc, x) -> CASE WHEN size(acc.win) < {k - 1} THEN
+                named_struct(
+                  'win', concat(acc.win, array(x)),
+                  'h', (acc.h * {_POLY_BASE} + x) % {_POLY_MOD},
+                  'mn', acc.mn)
+              ELSE
+                named_struct(
+                  'win', concat(slice(acc.win, 2, {k - 1}), array(x)),
+                  'h', (((acc.h * {_POLY_BASE} + x) % {_POLY_MOD})
+                        - (element_at(acc.win, 1) * {p}) % {_POLY_MOD}
+                        + {_POLY_MOD}) % {_POLY_MOD},
+                  'mn', least(acc.mn,
+                              (acc.h * {_POLY_BASE} + x) % {_POLY_MOD}))
+              END,
+              acc -> acc.mn)
             END"""
     )
 
