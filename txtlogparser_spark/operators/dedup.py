@@ -509,6 +509,181 @@ def duplicate_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_rep"))
 
 
+def kgram_occurrences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(_id, _pos, _gh) for every k-word window of every document —
+    the occurrence table behind exact substring-level dedup.
+
+    _pos is the 0-based WORD offset of the window start; _gh is
+    md5(the k words joined by ' ') — engine-portable (identical in
+    DuckDB/Python) so the whole downstream operator replays in SQL.
+
+    Pure Catalyst: the word array is materialized as a COLUMN before
+    the hashing lambda touches it — Catalyst re-evaluates computed
+    expressions referenced inside HOF lambdas per element (no CSE
+    there), so hashing over an inline split() would re-split the
+    document len times (the O(len^2) trap measured on _exploded_bigrams
+    in operators/lm.py). With the column materialized, each element
+    does one O(k) slice+hash: O(len*k) per document total.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, k))),
+    )
+    return (
+        words.where(F.size("_w") >= k)
+        .select("_id", F.posexplode(grams))
+        .toDF("_id", "_pos", "_gh")
+    )
+
+
+def duplicated_span_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup, span detection half (the ExactSubstr
+    recipe of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed over rolling k-word grams
+    instead of a suffix array): any k-gram occurring more than once in
+    the corpus is duplicated text; every occurrence EXCEPT the first
+    (smallest (id, pos)) is marked, and per-document overlapping marks
+    merge into maximal half-open word spans.
+
+    Output: (id_col, span_start, span_end, n_grams) — word offsets,
+    end exclusive; one row per maximal duplicated span. Feed to
+    strip_duplicated_spans for the removal half.
+
+    100 TB shape: the occurrence table is sum(len) narrow rows of
+    (id, pos, hash). Duplicate detection + keeper election is ONE
+    groupBy(_gh).agg(count, min(struct(id,pos))) — partial aggregation,
+    so a boilerplate gram with 10^9 copies ships one row per map
+    partition (same skew-proof pattern as paragraph_dedup; a
+    per-gram window would funnel every copy through one task — the
+    plan test pins Window absence from the election subtree). The
+    join-back on _gh is one hash join against the (usually tiny,
+    count>1-filtered) duplicated-gram dim. Interval merging windows
+    per DOCUMENT — bounded by document length by construction.
+
+    Caveat shared with the original: the kept first occurrence's text
+    can still be partially covered by a DIFFERENT duplicated gram's
+    span; "all but one copy survives" holds per gram, not per merged
+    span.
+    """
+    grams = kgram_occurrences(docs, id_col=id_col, text_col=text_col, k=k)
+    dup = (
+        grams.groupBy("_gh")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_k"),
+        )
+        .where(F.col("_c") > 1)
+        .select("_gh", F.col("_k._id").alias("_kid"), F.col("_k._pos").alias("_kpos"))
+    )
+    occ = grams.join(dup, "_gh").where(
+        ~((F.col("_id") == F.col("_kid")) & (F.col("_pos") == F.col("_kpos")))
+    )
+    # merge overlapping [pos, pos+k) intervals per document: a new span
+    # starts where pos exceeds the running max end of everything before
+    wp = Window.partitionBy("_id").orderBy("_pos")
+    run_end = F.max("_end").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        occ.select("_id", "_pos", (F.col("_pos") + k).alias("_end"))
+        .withColumn(
+            "_new",
+            F.when(
+                run_end.isNull() | (F.col("_pos") > run_end), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return marked.groupBy("_id", "_grp").agg(
+        F.min("_pos").alias("span_start"),
+        F.max("_end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select(
+        F.col("_id").alias(id_col), "span_start", "span_end", "n_grams"
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    spans: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact substring-level dedup, removal half: delete every word
+    covered by a duplicated span (duplicated_span_table's output) and
+    rejoin the survivors with single spaces.
+
+    Output: one row per input document —
+    (id_col, clean_text, n_words, n_words_removed).
+
+    Pass a precomputed `spans` frame to share one detection pass across
+    several consumers (e.g. a span report AND the cleaned corpus).
+
+    Scale shape: spans collapse to one array per affected document
+    (groupBy id — bounded by per-doc span count), then ONE left join
+    back to the corpus on id and a map-side per-word filter:
+    O(len * spans_per_doc) per document, no Python anywhere.
+    """
+    if spans is None:
+        spans = duplicated_span_table(docs, id_col=id_col, text_col=text_col, k=k)
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["_sid"], "left"
+    ).drop("_sid")
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    kept = F.filter(
+        F.col("_ws"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    out = (
+        joined.withColumn("_ws", words)
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("_ws").alias("n_words"),
+            (F.size("_ws") - F.size(kept)).alias("n_words_removed"),
+        )
+    )
+    return out
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,
