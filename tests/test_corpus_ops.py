@@ -728,3 +728,298 @@ class TestSemanticDedup:
         got = duplicate_components(pairs, max_iter=10).collect()
         assert len(got) == 65
         assert {r["group_rep"] for r in got} == {0}
+
+
+class TestTokenBudgetMix:
+    """token_budget_mix: per-source TOKEN-budget selection in
+    deterministic hash order (the trainer-facing mixing step), with the
+    quota_sample-style hash-threshold prefilter bounding the exact
+    cumulative window; temperature_budgets: the XLM-R/mT5 multinomial
+    temperature weighting that produces the budgets dict."""
+
+    SALT = "budget-v1"
+
+    def _rows(self):
+        # deterministic variable-length docs across three sources
+        return [
+            (i, f"s{i % 3}", 10 + (i * 7) % 50)  # n_tok in [10, 59]
+            for i in range(300)
+        ]
+
+    def _model(self, rows, budgets, salt=SALT):
+        import hashlib
+
+        sel = set()
+        groups = {}
+        for doc_id, src, ntok in rows:
+            groups.setdefault(src, []).append((doc_id, ntok))
+        for s, docs in groups.items():
+            b = budgets.get(s, 0)
+            if b <= 0:
+                continue
+            cum = 0
+            order = sorted(
+                docs,
+                key=lambda x: (
+                    "0" + hashlib.md5(f"{salt}:{x[0]}".encode()).hexdigest()[:8],
+                    x[0],
+                ),
+            )
+            for d, nt in order:
+                if cum < b:
+                    sel.add(d)
+                    cum += nt
+        return sel
+
+    def test_matches_model_and_deterministic(self, spark):
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+        budgets = {"s0": 400, "s1": 90, "s2": 10 ** 9}  # s2 > total: keep all
+        got = {r["doc_id"] for r in token_budget_mix(df, budgets).collect()}
+        assert got == self._model(rows, budgets)
+        # s2 kept whole
+        assert len([1 for i, s, _ in rows if s == "s2"]) == len(
+            [d for d in got if rows[d][1] == "s2"]
+        )
+        # determinism across partitionings
+        again = {
+            r["doc_id"]
+            for r in token_budget_mix(df.repartition(13), budgets).collect()
+        }
+        assert got == again
+
+    def test_budget_exact_to_one_doc(self, spark):
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+        budgets = {"s0": 400}
+        out = token_budget_mix(df, budgets).collect()
+        toks = sorted((r["n_tok"] for r in out), reverse=True)
+        total = sum(toks)
+        # budget met, overshoot bounded by the crossing document
+        assert total >= 400 and total - toks[0] < 400
+        # absent sources contribute nothing
+        assert {r["source"] for r in out} == {"s0"}
+
+    def test_zero_and_empty_budgets(self, spark):
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        df = spark.createDataFrame(
+            self._rows(), ["doc_id", "source", "n_tok"]
+        )
+        assert token_budget_mix(df, {"s0": 0}).count() == 0
+        assert token_budget_mix(df, {}).count() == 0
+        with pytest.raises(ValueError):
+            token_budget_mix(df, {"s0": -1})
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+        budgets = {"s0": 400, "s1": 90}
+        got = {r["doc_id"] for r in token_budget_mix(df, budgets).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs (doc_id BIGINT, source VARCHAR, n_tok BIGINT)"
+        )
+        con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+        con.execute(
+            "CREATE TABLE budgets (source VARCHAR, budget BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO budgets VALUES (?, ?)", sorted(budgets.items())
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                """
+                SELECT doc_id FROM (
+                  SELECT d.doc_id, b.budget,
+                    SUM(d.n_tok) OVER (
+                      PARTITION BY d.source
+                      ORDER BY '0' || substr(md5('budget-v1:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8), d.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - d.n_tok AS cum_before
+                  FROM docs d JOIN budgets b USING (source)
+                ) WHERE cum_before < budget
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_hot_source_prefilter_bounds_window_input(self, spark):
+        """90%-hot-source fixture with a small budget: selected set
+        equals the naive full-group window, while the executed plan
+        windows over a _bthr-filtered child — no task receives the
+        whole hot group."""
+        import hashlib
+
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        hot = [(i, "hot", 20) for i in range(9000)]
+        cold = [(100000 + i, f"s{i % 3}", 20) for i in range(1000)]
+        rows = hot + cold
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+        budgets = {"hot": 200, "s0": 100}
+        out = token_budget_mix(df, budgets)
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == self._model(rows, budgets)
+
+        # replay the default-margin prefilter: tiny prefix of hot kept
+        thr = format(
+            int(min(1.0, 4.0 * 200 / (9000 * 20)) * (1 << 32)), "09x"
+        )
+        def hx(i):
+            return "0" + hashlib.md5(f"budget-v1:{i}".encode()).hexdigest()[:8]
+        survivors = sum(1 for i, _, _ in hot if hx(i) < thr)
+        assert 0 < survivors < 9000 * 0.05
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_bthr" in plan
+
+    def test_temperature_budgets(self):
+        from txtlogparser_spark.operators.sampling import temperature_budgets
+
+        totals = {"web": 900, "code": 90, "books": 10}
+        # tau=1: natural proportions
+        nat = temperature_budgets(totals, 100, tau=1.0)
+        assert nat == {"web": 90, "code": 9, "books": 1}
+        # tau=0: uniform weights, capped at each source's actual total
+        flat = temperature_budgets(totals, 300, tau=0.0)
+        assert flat == {"web": 100, "code": 90, "books": 10}
+        # caps: budget never exceeds the source total
+        assert temperature_budgets(totals, 10**6, tau=1.0) == totals
+        # zero-count sources get 0; validation
+        assert temperature_budgets({"a": 0, "b": 10}, 100)["a"] == 0
+        with pytest.raises(ValueError):
+            temperature_budgets(totals, 100, tau=-1)
+        with pytest.raises(ValueError):
+            temperature_budgets(totals, -5)
+
+
+class TestGopherFlags:
+    """gopher_flags (functions/text.py): the published Gopher/
+    MassiveText quality rule set as pure-Catalyst boolean columns.
+    Value oracle = DuckDB list-function replay + per-rule pinned
+    fixtures (registry 50-slot window full -> pytest-oracled)."""
+
+    def _flag_row(self, spark, text, **kw):
+        from txtlogparser_spark.functions.text import gopher_flags
+
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        flags = gopher_flags("text", **kw)
+        row = df.select(
+            *[c.alias(k) for k, c in flags.items()]
+        ).collect()[0]
+        return row.asDict()
+
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog and then it have "
+        "to be going on with many more plain words that keep the "
+        "document long enough to pass the minimum word count rule so "
+        "we simply continue adding ordinary english words until fifty "
+        "of them exist in this single test document right about here "
+        "now done"
+    )
+
+    def test_good_doc_passes(self, spark):
+        row = self._flag_row(spark, self.GOOD)
+        assert row["gopher_pass"] is True
+        assert all(v is True for v in row.values())
+
+    def test_each_rule_fires_individually(self, spark):
+        # too short
+        assert self._flag_row(spark, "tiny doc")["words_ok"] is False
+        # degenerate mean word length (single letters)
+        r = self._flag_row(spark, " ".join(["a"] * 60))
+        assert r["mean_word_len_ok"] is False
+        # symbol spam
+        r = self._flag_row(spark, self.GOOD + " " + "# # # # # # # # # #" * 2)
+        assert r["symbol_ratio_ok"] is False
+        # bullet-led lines
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        assert self._flag_row(spark, bullets)["bullet_lines_ok"] is False
+        # ellipsis-terminated lines
+        dots = "\n".join(f"line {i}..." for i in range(10))
+        assert self._flag_row(spark, dots)["ellipsis_lines_ok"] is False
+        # numeric soup fails the alpha-word rule
+        nums = " ".join(str(i) for i in range(80))
+        assert self._flag_row(spark, nums)["alpha_words_ok"] is False
+        # no required function words
+        greek = " ".join(["alpha beta gamma delta"] * 20)
+        assert self._flag_row(spark, greek)["stopwords_ok"] is False
+
+    def test_thresholds_are_knobs(self, spark):
+        assert (
+            self._flag_row(spark, "five words right here now", min_words=5)[
+                "words_ok"
+            ]
+            is True
+        )
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+
+        from txtlogparser_spark.functions.text import gopher_flags
+
+        docs = [
+            (1, self.GOOD),
+            (2, "tiny doc"),
+            (3, " ".join(["a"] * 60)),
+            (4, "\n".join(f"- item {i}" for i in range(20))),
+            (5, "\n".join(f"line {i}..." for i in range(10))),
+            (6, " ".join(str(i) for i in range(80))),
+            (7, " ".join(["alpha beta gamma delta"] * 20)),
+            (8, self.GOOD + " # ellipsis… trailing…"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        flags = gopher_flags("text")
+        got = {
+            r["doc_id"]: tuple(r[k] for k in flags)
+            for r in df.select(
+                "doc_id", *[c.alias(k) for k, c in flags.items()]
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+        rows = con.execute(
+            r"""
+            WITH b AS (
+              SELECT doc_id, text AS t,
+                     string_split(text, ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM docs
+            )
+            SELECT doc_id,
+              len(ws) BETWEEN 50 AND 100000 AS words_ok,
+              ((length(t) - (len(ws) - 1)) * 1.0 / len(ws)) BETWEEN 3 AND 10
+                AS mean_word_len_ok,
+              (len(regexp_extract_all(t, '#'))
+               + len(regexp_extract_all(t, '\.\.\.'))
+               + len(regexp_extract_all(t, '…')))
+                <= 0.1 * len(ws) AS symbol_ratio_ok,
+              len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+                * 1.0 / len(ls) <= 0.9 AS bullet_lines_ok,
+              len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                * 1.0 / len(ls) <= 0.3 AS ellipsis_lines_ok,
+              len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                * 1.0 / len(ws) >= 0.8 AS alpha_words_ok,
+              len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+                >= 2 AS stopwords_ok
+            FROM b
+            """
+        ).fetchall()
+        want = {
+            r[0]: tuple(bool(v) for v in r[1:]) + (all(bool(v) for v in r[1:]),)
+            for r in rows
+        }
+        assert got == want

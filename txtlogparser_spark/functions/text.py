@@ -215,6 +215,92 @@ def is_repetitive(
     )
 
 
+# Gopher rule 6's required English function words (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A — public recipe).
+GOPHER_STOPWORDS: Sequence[str] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Dict[str, Column]:
+    """The Gopher/MassiveText document-quality rule set (Rae et al.
+    2021, Appendix A1.1) as named boolean columns, one per rule, plus
+    the conjunction under 'gopher_pass'. Defaults are the published
+    thresholds; every one is a policy knob. Pure Catalyst column
+    expressions — map-only, whole-stage codegen, O(len) per document,
+    composable with any corpus frame at any scale.
+
+    Returned keys: words_ok (50..100k words), mean_word_len_ok (3..10),
+    symbol_ratio_ok (#/ellipsis per word <= 0.1), bullet_lines_ok
+    (<= 90% of lines bullet-led), ellipsis_lines_ok (<= 30% of lines
+    ellipsis-terminated), alpha_words_ok (>= 80% of words contain a
+    letter), stopwords_ok (>= 2 distinct required function words),
+    gopher_pass.
+
+    Word unit is the single-space split shared by every text primitive
+    in this module (and their DuckDB oracles). Counts-based rules treat
+    empty text as its split artifact ([''] = 1 word) — rejected by
+    min_words anyway.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    # mean word length over word characters only (separators excluded)
+    mean_wl = F.when(
+        n_words > 0, (F.length(t) - (n_words - 1)) / n_words
+    ).otherwise(F.lit(0.0))
+    symbols = (
+        F.regexp_count(t, F.lit(r"#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    )
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ) / n_lines
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / n_words
+    lowered = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    )
+    flags = {
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "symbol_ratio_ok": symbols <= max_symbol_word_ratio * n_words,
+        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words_ok": alpha_frac >= min_alpha_word_frac,
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else (passed & c)
+    flags["gopher_pass"] = passed
+    return flags
+
+
 def tfidf_top_terms(
     df,
     text_col: str = "text",
