@@ -156,3 +156,142 @@ class TestCurationChain:
             .collect()
         }
         assert agg == {("/a", 200): 2, ("/b", 500): 1}
+
+
+SHARED = "the quick brown fox jumps over the lazy dog"  # 9-word run
+SEL_DOCS = [
+    (1, "web", f"{SHARED} and many other useful words follow here"),
+    (2, "web", f"intro words then {SHARED} tail content of the page"),
+    (3, "web", "totally unique web content about the weather and the sea today"),
+    (4, "code", "def main of the and that code have with words return value"),
+    (5, "code", "1 2 3 4 5 6 7 8 9 10"),  # numeric soup: fails gopher
+    (6, "code", f"other code {SHARED} more code of the and that here"),
+]
+
+
+def _py_selection_chain(rows, k, total_budget, tau, min_words):
+    """Independent replay of gopher gate -> substring strip ->
+    temperature-weighted token-budget mix."""
+    import hashlib
+    from collections import Counter
+
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+    def gopher_ok(t):
+        ws = t.split(" ")
+        if not (min_words <= len(ws) <= 100_000):
+            return False
+        mean = (len(t) - (len(ws) - 1)) / len(ws)
+        if not (3 <= mean <= 10):
+            return False
+        alpha = sum(1 for w in ws if any(c.isalpha() for c in w)) / len(ws)
+        if alpha < 0.8:
+            return False
+        hits = len({w.lower() for w in ws} & stop)
+        return hits >= 2
+
+    gated = [(d, s, t) for d, s, t in rows if gopher_ok(t)]
+
+    occ = []
+    for d, _, t in gated:
+        w = t.split(" ")
+        for pos in range(len(w) - k + 1):
+            occ.append((" ".join(w[pos : pos + k]), d, pos))
+    counts = Counter(g for g, _, _ in occ)
+    keeper = {}
+    for g, d, p in sorted(occ, key=lambda x: (x[1], x[2])):
+        keeper.setdefault(g, (d, p))
+    marks = {}
+    for g, d, p in occ:
+        if counts[g] > 1 and keeper[g] != (d, p):
+            marks.setdefault(d, []).append(p)
+    cleaned = []
+    for d, s, t in gated:
+        w = t.split(" ")
+        covered = set()
+        for p in marks.get(d, []):
+            covered.update(range(p, p + k))
+        kept = [x for i, x in enumerate(w) if i not in covered]
+        cleaned.append((d, s, " ".join(kept), len(kept)))
+
+    totals = {}
+    for _, s, _, n in cleaned:
+        totals[s] = totals.get(s, 0) + n
+    weights = {s: c ** tau for s, c in totals.items() if c > 0}
+    z = sum(weights.values())
+    budgets = {
+        s: min(totals[s], int(total_budget * w / z))
+        for s, w in weights.items()
+    }
+    sel = {}
+    for s in budgets:
+        cum = 0
+        group = [(d, g, n) for d, gs, g, n in cleaned if gs == s]
+        order = sorted(
+            group,
+            key=lambda x: (
+                "0" + hashlib.md5(f"mix:{x[0]}".encode()).hexdigest()[:8],
+                x[0],
+            ),
+        )
+        for d, g, n in order:
+            if cum < budgets[s]:
+                sel[d] = g
+                cum += n
+    return sel
+
+
+class TestSelectionChain:
+    def test_gate_strip_mix_composes(self, spark):
+        """gopher_flags gate -> strip_duplicated_spans -> n_tok ->
+        temperature_budgets -> token_budget_mix, against ONE Python
+        replay of the whole selection chain."""
+        from txtlogparser_spark.functions.text import gopher_flags
+        from txtlogparser_spark.operators.dedup import strip_duplicated_spans
+        from txtlogparser_spark.operators.sampling import (
+            temperature_budgets,
+            token_budget_mix,
+        )
+
+        K, BUDGET, TAU, MIN_WORDS = 4, 30, 0.7, 8
+        docs = spark.createDataFrame(
+            SEL_DOCS, "doc_id long, source string, text string"
+        )
+        # 1. quality gate (min_words lowered for the small fixture;
+        #    bullet/ellipsis/symbol rules still active at defaults)
+        gated = docs.where(
+            gopher_flags("text", min_words=MIN_WORDS)["gopher_pass"]
+        )
+        assert {r["doc_id"] for r in gated.collect()} == {1, 2, 3, 4, 6}
+
+        # 2. corpus-wide substring dedup over the gated corpus
+        stripped = strip_duplicated_spans(
+            gated.select("doc_id", "text"), k=K
+        ).join(docs.select("doc_id", "source"), "doc_id")
+        # first occurrence of the shared run survives in doc 1 only
+        by_id = {r["doc_id"]: r for r in stripped.collect()}
+        assert by_id[1]["n_words_removed"] == 0
+        assert by_id[2]["n_words_removed"] > 0
+        assert by_id[6]["n_words_removed"] > 0
+
+        # 3. temperature-weighted token-budget mix over clean tokens
+        corpus = stripped.select(
+            "doc_id",
+            "source",
+            F.col("clean_text").alias("text"),
+            (F.size(F.split("clean_text", " "))
+             - (F.col("clean_text") == "").cast("int")).alias("n_tok"),
+        )
+        totals = {
+            r["source"]: int(r["tot"])
+            for r in corpus.groupBy("source")
+            .agg(F.sum("n_tok").alias("tot"))
+            .collect()
+        }
+        budgets = temperature_budgets(totals, BUDGET, tau=TAU)
+        picked = token_budget_mix(corpus, budgets, salt="mix")
+        got = {r["doc_id"]: r["text"] for r in picked.collect()}
+
+        want = _py_selection_chain(SEL_DOCS, K, BUDGET, TAU, MIN_WORDS)
+        assert got == want
+        assert 5 not in got  # gated before dedup ever saw it
