@@ -883,6 +883,35 @@ class TestTokenBudgetMix:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "_bthr" in plan
 
+    def test_heavy_tailed_group_few_huge_docs(self, spark):
+        """Review finding: a source whose tokens sit in a few huge
+        documents must not exhaust the widen loop — the 1/count floor
+        keeps expected survivor ROWS >= margin even when the token-rate
+        term rounds to zero rows."""
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        rows = [(i, "whale", 10**8) for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+        out = token_budget_mix(df, {"whale": 1000}).collect()
+        # budget crossed by the first hash-ordered doc alone
+        assert len(out) == 1
+        assert {r["doc_id"] for r in out} == self._model(rows, {"whale": 1000})
+
+    def test_null_token_counts(self, spark):
+        """Review finding: all-NULL and partially-NULL tok_col must not
+        crash the stats dim; NULL tokens count as 0 (selected for free
+        when reached, never crossing the budget)."""
+        from txtlogparser_spark.operators.sampling import token_budget_mix
+
+        rows = [(1, "a", 50), (2, "a", None), (3, "a", 60), (4, "b", None)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+        # source b (all NULL) simply ignored without a budget entry
+        out = token_budget_mix(df, {"a": 10**6}).collect()
+        assert {r["doc_id"] for r in out} == {1, 2, 3}
+        # and selectable for free when budgeted (0 tokens never cross)
+        outb = token_budget_mix(df, {"b": 5}).collect()
+        assert {r["doc_id"] for r in outb} == {4}
+
     def test_temperature_budgets(self):
         from txtlogparser_spark.operators.sampling import temperature_budgets
 
@@ -901,6 +930,12 @@ class TestTokenBudgetMix:
             temperature_budgets(totals, 100, tau=-1)
         with pytest.raises(ValueError):
             temperature_budgets(totals, -5)
+        # review finding: realistic token totals with large tau must
+        # not overflow (log-space weights)
+        big = temperature_budgets(
+            {"web": 10**12, "code": 10**9}, 10**9, tau=40.0
+        )
+        assert big["web"] == 10**9 and big["code"] == 0
 
 
 class TestGopherFlags:
@@ -912,7 +947,7 @@ class TestGopherFlags:
     def _flag_row(self, spark, text, **kw):
         from txtlogparser_spark.functions.text import gopher_flags
 
-        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
         flags = gopher_flags("text", **kw)
         row = df.select(
             *[c.alias(k) for k, c in flags.items()]
@@ -955,6 +990,27 @@ class TestGopherFlags:
         greek = " ".join(["alpha beta gamma delta"] * 20)
         assert self._flag_row(spark, greek)["stopwords_ok"] is False
 
+    def test_newline_wrapped_doc_counts_words(self, spark):
+        """Review finding: hard-wrapped documents must tokenize on
+        WHITESPACE — a 55-word doc wrapped into lines of 5 words has 55
+        words, not 45 newline-glued tokens."""
+        words = [f"word{i:02d}" for i in range(55)]
+        wrapped = "\n".join(
+            " ".join(words[i : i + 5]) for i in range(0, 55, 5)
+        )
+        wrapped += " the of"  # satisfy the stopword rule
+        row = self._flag_row(spark, wrapped)
+        assert row["words_ok"] is True
+        assert row["mean_word_len_ok"] is True
+        assert row["gopher_pass"] is True
+
+    def test_null_text_definite_booleans(self, spark):
+        """Review finding: NULL text must produce definite False flags
+        (coalesced to ''), not NULLs that vanish from reject counts."""
+        row = self._flag_row(spark, None)
+        assert row["gopher_pass"] is False
+        assert all(isinstance(v, bool) for v in row.values())
+
     def test_thresholds_are_knobs(self, spark):
         assert (
             self._flag_row(spark, "five words right here now", min_words=5)[
@@ -993,14 +1049,14 @@ class TestGopherFlags:
             r"""
             WITH b AS (
               SELECT doc_id, text AS t,
-                     string_split(text, ' ') AS ws,
+                     regexp_split_to_array(text, '\s+') AS ws,
                      string_split(text, chr(10)) AS ls
               FROM docs
             )
             SELECT doc_id,
               len(ws) BETWEEN 50 AND 100000 AS words_ok,
-              ((length(t) - (len(ws) - 1)) * 1.0 / len(ws)) BETWEEN 3 AND 10
-                AS mean_word_len_ok,
+              (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws))
+                BETWEEN 3 AND 10 AS mean_word_len_ok,
               (len(regexp_extract_all(t, '#'))
                + len(regexp_extract_all(t, '\.\.\.'))
                + len(regexp_extract_all(t, '…')))

@@ -178,10 +178,10 @@ def _py_selection_chain(rows, k, total_budget, tau, min_words):
     stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
 
     def gopher_ok(t):
-        ws = t.split(" ")
+        ws = t.split()  # whitespace split (fixture has no leading ws)
         if not (min_words <= len(ws) <= 100_000):
             return False
-        mean = (len(t) - (len(ws) - 1)) / len(ws)
+        mean = sum(len(w) for w in ws) / len(ws)
         if not (3 <= mean <= 10):
             return False
         alpha = sum(1 for w in ws if any(c.isalpha() for c in w)) / len(ws)

@@ -249,20 +249,30 @@ def gopher_flags(
     letter), stopwords_ok (>= 2 distinct required function words),
     gopher_pass.
 
-    Word unit is the single-space split shared by every text primitive
-    in this module (and their DuckDB oracles). Counts-based rules treat
-    empty text as its split artifact ([''] = 1 word) — rejected by
-    min_words anyway.
+    Word unit is a WHITESPACE split (regex \\s+), not this module's
+    usual single-space split: the rule set explicitly targets
+    multi-line documents (per-line bullet/ellipsis rules), and a
+    single-space split would glue words across newlines and count
+    empty strings under double spaces, distorting the word-count /
+    word-length / alpha rules for exactly those documents. Gopher's
+    published rules tokenize on whitespace. NULL text coalesces to ''
+    so every flag is a definite boolean (empty text = one '' word,
+    rejected by min_words). A leading-whitespace artifact remains
+    (Java split keeps one leading empty token); it is one short word
+    in the denominators.
     """
-    t = F.col(text_col)
-    words = F.split(t, " ")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(t, r"\s+")
     n_words = F.size(words)
     lines = F.split(t, "\n", -1)
     n_lines = F.size(lines)
     # mean word length over word characters only (separators excluded)
-    mean_wl = F.when(
-        n_words > 0, (F.length(t) - (n_words - 1)) / n_words
-    ).otherwise(F.lit(0.0))
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(
+        F.lit(0.0)
+    )
     symbols = (
         F.regexp_count(t, F.lit(r"#"))
         + F.regexp_count(t, F.lit(r"\.\.\."))
@@ -277,11 +287,14 @@ def gopher_flags(
     alpha_frac = F.size(
         F.filter(words, lambda w: w.rlike("[A-Za-z]"))
     ) / n_words
-    lowered = F.transform(words, F.lower)
+    # array_intersect takes the computed word array as an ARGUMENT
+    # (evaluated once) — referencing it inside a filter lambda would
+    # re-split the document once per stopword (no CSE inside HOF
+    # lambdas; the O(len^2) trap documented at kgram_occurrences)
     stop_hits = F.size(
-        F.filter(
+        F.array_intersect(
+            F.transform(words, F.lower),
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(lowered, s),
         )
     )
     flags = {

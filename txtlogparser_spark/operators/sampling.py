@@ -214,16 +214,25 @@ def temperature_budgets(
     small source doesn't have (the undistributed remainder is NOT
     reassigned; callers wanting exact total_budget sums should raise
     tau or total_budget)."""
+    import math
+
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
     if total_budget < 0:
         raise ValueError(f"total_budget must be >= 0, got {total_budget}")
-    weights = {s: float(c) ** tau for s, c in token_totals.items() if c > 0}
-    z = sum(weights.values())
-    if z == 0:
+    # log-space weights: float(c) ** tau overflows for realistic token
+    # totals (1e9-1e12) once tau exceeds ~25; exp(tau*(ln c - max ln c))
+    # is bounded in (0, 1] and identical after normalization
+    logs = {s: tau * math.log(c) for s, c in token_totals.items() if c > 0}
+    if not logs:
         return {s: 0 for s in token_totals}
+    mx = max(logs.values())
+    weights = {s: math.exp(l - mx) for s, l in logs.items()}
+    z = sum(weights.values())
+    # floor with an epsilon: the log-space round trip can land an
+    # exactly-representable share (e.g. 9) at 8.999999999999998
     return {
-        s: min(int(token_totals[s]), int(total_budget * w / z))
+        s: min(int(token_totals[s]), int(total_budget * w / z + 1e-9))
         for s, w in sorted(weights.items())
     } | {s: 0 for s, c in token_totals.items() if c <= 0}
 
@@ -251,14 +260,19 @@ def token_budget_mix(
 
     Scale shape — same skew discipline as quota_sample (round-3
     VERDICT pattern): the exact per-group cumulative-sum window never
-    sees the whole group. The ranking hash prefilters each group to
-    ~margin * budget_s / group_token_total of its rows (a hash-order
-    PREFIX, uniform over docs, so its token mass is proportional in
-    expectation); survivor token mass is verified >= min(budget, group
-    total) per group and the threshold widens *4 on the unlikely
-    undershoot. The selected SET is identical to the naive full-group
-    window: the cumulative crossing point is inside any verified
-    survivor prefix by construction. DuckDB-replayable (same md5-hex
+    sees the whole group. The ranking hash prefilters each group to a
+    hash-order PREFIX of ~margin * max(budget/group_tokens, 1/count)
+    of its rows: the token-fraction term targets proportional token
+    mass, and the 1/count floor keeps the EXPECTED SURVIVOR COUNT
+    >= margin even when a group's tokens sit in a few huge documents
+    (a pure token-rate threshold can select zero ROWS from such a
+    heavy-tailed group and spuriously exhaust the widen loop).
+    Survivor token mass is verified >= min(budget, group total) per
+    group, widening *4 on undershoot. The selected SET is identical to
+    the naive full-group window: the cumulative crossing point is
+    inside any verified survivor prefix by construction. NULL token
+    counts participate as 0 tokens (selected for free when reached,
+    never crossing the budget). DuckDB-replayable (same md5-hex
     order), partitioning-invariant, resume-stable.
     """
     from pyspark.sql import Window
@@ -267,11 +281,12 @@ def token_budget_mix(
     budgets = {s: int(b) for s, b in budgets.items()}
     if any(b < 0 for b in budgets.values()):
         raise ValueError("budgets must be >= 0")
+    tok = F.coalesce(F.col(tok_col), F.lit(0)).cast("long")
     # K-row per-source totals dim (same class as the enrich dims)
     stats = {
         r[0]: (int(r[1]), int(r[2]))
         for r in df.groupBy(part_col)
-        .agg(F.count(F.lit(1)), F.sum(F.col(tok_col).cast("long")))
+        .agg(F.count(F.lit(1)), F.sum(tok))
         .collect()
     }
     live = {
@@ -287,7 +302,18 @@ def token_budget_mix(
     for _ in range(int(max_widen)):
         dim = spark.createDataFrame(
             [
-                (s, rate_threshold_hex(min(1.0, m * b / max(stats[s][1], 1))))
+                (
+                    s,
+                    rate_threshold_hex(
+                        min(
+                            1.0,
+                            m
+                            * max(
+                                b / max(stats[s][1], 1), 1.0 / stats[s][0]
+                            ),
+                        )
+                    ),
+                )
                 for s, b in sorted(live.items())
             ],
             f"{part_col} string, _bthr string",
@@ -300,9 +326,7 @@ def token_budget_mix(
         )
         got = {
             r[0]: int(r[1])
-            for r in cand.groupBy(part_col)
-            .agg(F.sum(F.col(tok_col).cast("long")))
-            .collect()
+            for r in cand.groupBy(part_col).agg(F.sum(tok)).collect()
         }
         if all(got.get(s, 0) >= need[s] for s in live):
             surv = cand
@@ -313,7 +337,8 @@ def token_budget_mix(
         raise RuntimeError(
             f"token_budget_mix prefilter undershot min(budget, group "
             f"tokens) after {max_widen} margin widenings (final margin "
-            f"{m}); the hash is not behaving uniformly"
+            f"{m}); raise margin/max_widen (extremely heavy-tailed "
+            f"document sizes) or check the key column for collisions"
         )
     w = (
         Window.partitionBy(part_col)
@@ -325,10 +350,7 @@ def token_budget_mix(
     )
     return (
         surv.join(F.broadcast(bdim), part_col)
-        .withColumn(
-            "_cum_before",
-            F.sum(F.col(tok_col).cast("long")).over(w) - F.col(tok_col).cast("long"),
-        )
+        .withColumn("_cum_before", F.sum(tok).over(w) - tok)
         .where(F.col("_cum_before") < F.col("_budget"))
         .drop("_bh", "_cum_before", "_budget")
     )
