@@ -961,22 +961,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "lang_stats": q_lang_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "text_quality": q_text_quality,
-        "token_count_regex": q_token_count_regex,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "langid": q_langid,
-        "quality_scores": q_quality_scores,
+        # quality_suite folds text_quality + quality_scores +
+        # repetition_stats + token_count_regex + langid + lang_stats
+        # (full value parity; see its docstring) — the freed slots host
+        # the round-4 curation operators below
+        "quality_suite": q_quality_suite,
         "log_overlay": q_log_overlay,
         "log_ingest_tokenize": q_log_ingest_tokenize,
         "log_page_offset": q_log_page_offset,
-        "log_nav_next": q_log_nav_next,
-        "log_nav_prev": q_log_nav_prev,
-        "log_nav_search": q_log_nav_search,
+        # log_nav_suite folds log_nav_next + log_nav_prev + log_nav_search
+        "log_nav_suite": q_log_nav_suite,
         "multimodal_features": q_multimodal_features,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
@@ -985,14 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_session_range_join": q_events_session_range_join,
         "decontaminate_eval": q_decontaminate_eval,
-        "repetition_stats": q_repetition_stats,
         "source_mix_sample": q_source_mix_sample,
-        "pack_chunks": q_pack_chunks,
-        "pack_greedy": q_pack_greedy,
+        # pack_suite folds pack_chunks + pack_greedy + pack_assemble
+        # (epoch_pack_assemble stays standalone as the composition)
+        "pack_suite": q_pack_suite,
         "corpus_stats_suite": q_corpus_stats_suite,
         "redact_terms": q_redact_terms,
         "corpus_funnel": q_corpus_funnel,
-        "pack_assemble": q_pack_assemble,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "dedup_incremental_probe": q_dedup_incremental_probe,
         "quota_sample": q_quota_sample,
@@ -1001,7 +999,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_ivf": q_dedup_semantic_ivf,
         "epoch_pack_assemble": q_epoch_pack_assemble,
         "ivf_kmeans_refine": q_ivf_kmeans_refine,
+        # round-4 curation operators (previously pytest-oracled only;
+        # the suite folds above made room inside the 50-slot window)
+        "paragraph_dedup": q_paragraph_dedup,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_strip": q_dedup_substring_strip,
+        "grok_extract": q_grok_extract,
+        "redact_pii": q_redact_pii,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "token_budget_mix": q_token_budget_mix,
+        "lm_perplexity": q_lm_perplexity,
     }
+
+
+def _osuite_sql(sections) -> str:
+    """Compose a consolidated-suite DuckDB oracle from per-section SQL:
+    each (section, sql, keys, metrics, bool_metrics) contributes one
+    long-format SELECT per metric, mirroring _suite_unpivot exactly —
+    grp = '|'-joined stringified keys (NULL -> '~null~'), val = metric
+    cast to DOUBLE (booleans through INTEGER)."""
+    parts = []
+    for section, sql, keys, metrics, bools in sections:
+        if keys:
+            grp = " || '|' || ".join(
+                f"COALESCE(CAST({k} AS VARCHAR), '~null~')" for k in keys
+            )
+        else:
+            grp = "''"
+        for m in metrics:
+            val = (
+                f"CAST(CAST({m} AS INTEGER) AS DOUBLE)"
+                if m in bools
+                else f"CAST({m} AS DOUBLE)"
+            )
+            parts.append(
+                f"SELECT '{section}' AS section, {grp} AS grp, "
+                f"'{m}' AS metric, {val} AS val FROM ({sql})"
+            )
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL ".join(parts)
+        + "\n) ORDER BY section, grp, metric"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1015,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
       )
     """
-    return {
+    o = {
         "log_route": f"""
             SELECT doc_id, source,
               CASE WHEN {_SQL_F201} THEN 201
@@ -2459,6 +2498,318 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+    # ---- consolidated suites: compose from the standalone oracles above
+    # (popped so the dict stays aligned with queries()); _osuite_sql
+    # mirrors _suite_unpivot's long format exactly
+    o["quality_suite"] = _osuite_sql([
+        ("text_quality", o.pop("text_quality"), ["doc_id", "fingerprint"],
+         ["n_words", "stopword_ratio", "has_dup_marker"],
+         {"has_dup_marker"}),
+        ("quality_scores", o.pop("quality_scores"), ["doc_id"],
+         ["quality", "punct_r"], set()),
+        ("repetition_stats", o.pop("repetition_stats"), ["doc_id"],
+         ["dup_word_frac", "top_bigram_frac", "is_repetitive"],
+         {"is_repetitive"}),
+        ("token_count_regex", o.pop("token_count_regex"), ["doc_id"],
+         ["n_tokens", "n_chars_m"], set()),
+        ("langid",
+         "SELECT *, 1 AS present FROM (" + o.pop("langid") + ")",
+         ["doc_id", "lang", "pred_lang"], ["present"], set()),
+        ("lang_stats", o.pop("lang_stats"), ["lang"],
+         ["doc_count", "total_chars", "total_words"], set()),
+    ])
+    o["log_nav_suite"] = _osuite_sql([
+        ("log_nav_next", o.pop("log_nav_next"), ["filter_id"],
+         ["next_index"], set()),
+        ("log_nav_prev", o.pop("log_nav_prev"), ["filter_id"],
+         ["prev_index", "prev_start"], set()),
+        ("log_nav_search", o.pop("log_nav_search"), ["search_id"],
+         ["next_index", "next_start"], set()),
+    ])
+    o["pack_suite"] = _osuite_sql([
+        ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],
+         ["n_tok", "tok_start", "first_chunk", "last_chunk",
+          "chunk_offset", "n_chunks"], set()),
+        ("pack_greedy", o.pop("pack_greedy"), ["source", "doc_id"],
+         ["n_tok", "bin_id", "pos_in_bin", "bin_fill_after"], set()),
+        ("pack_assemble", o.pop("pack_assemble"),
+         ["source", "chunk_id", "tokens_md5"],
+         ["n_pieces", "n_tok"], set()),
+    ])
+
+    # ---- round-4 curation operators (oracles ported from the pytest
+    # DuckDB-parity tests that carried them while the window was full)
+    o["paragraph_dedup"] = r"""
+        WITH pdocs AS (
+          SELECT doc_id,
+            regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                           '\1' || chr(10) || chr(10), 'g') AS text
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, idx - 1 AS pos, parts[idx] AS para
+          FROM (SELECT doc_id,
+                       string_split(COALESCE(text, ''), chr(10) || chr(10)) AS parts
+                FROM pdocs),
+               unnest(range(1, len(parts) + 1)) AS t(idx)
+        ),
+        kept AS (
+          SELECT doc_id, pos, para FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+            FROM p) WHERE rn = 1
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+            string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+            COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+          COALESCE(r.clean_text, '') AS clean_text,
+          CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM (SELECT doc_id, COUNT(*) AS n FROM p GROUP BY doc_id) t
+        LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY t.doc_id
+    """
+    _substr_occ = r"""
+        w AS (
+          SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(ws[i : i + 8 - 1], ' ')) AS gh
+          FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
+          WHERE len(ws) >= 8
+        ),
+        occ AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            FROM g
+          ) WHERE rn >= 2
+        )
+    """
+    o["dedup_substring_spans"] = (
+        "WITH " + _substr_occ + r""",
+        m AS (
+          SELECT doc_id, pos, pos + 8 AS e,
+            MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM occ
+        ),
+        grp AS (
+          SELECT *, SUM(CASE WHEN pmax IS NULL OR pos > pmax
+                             THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM m
+        )
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(e) AS INT) AS span_end,
+               COUNT(*) AS n_grams
+        FROM grp GROUP BY doc_id, s
+        ORDER BY doc_id, span_start
+    """
+    )
+    o["dedup_substring_strip"] = (
+        "WITH " + _substr_occ + r""",
+        wordpos AS (
+          SELECT doc_id, i - 1 AS wi, ws[i] AS word
+          FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        kept AS (
+          SELECT wp.doc_id, wp.wi, wp.word
+          FROM wordpos wp
+          WHERE NOT EXISTS (
+            SELECT 1 FROM occ oc
+            WHERE oc.doc_id = wp.doc_id
+              AND wp.wi >= oc.pos AND wp.wi < oc.pos + 8
+          )
+        )
+        SELECT d.doc_id,
+          COALESCE(string_agg(k.word, ' ' ORDER BY k.wi), '') AS clean_text,
+          CAST((SELECT COUNT(*) FROM wordpos x WHERE x.doc_id = d.doc_id)
+            AS INT) AS n_words,
+          CAST((SELECT COUNT(*) FROM wordpos x WHERE x.doc_id = d.doc_id)
+            - COUNT(k.wi) AS INT) AS n_words_removed
+        FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """
+    )
+
+    from txtlogparser_spark.functions.grok import grok_compile
+
+    _rx = grok_compile(_GROK_LOG_PATTERN).regex.replace("'", "''")
+    _line_sql = """
+        CASE WHEN event_id % 17 = 0
+             THEN 'malformed ' || CAST(event_id AS VARCHAR)
+        ELSE '10.' || CAST(user_id % 256 AS VARCHAR)
+          || '.0.' || CAST((event_id % 254) + 1 AS VARCHAR)
+          || ' - user' || CAST(user_id AS VARCHAR)
+          || ' [e' || CAST(event_id AS VARCHAR) || '] "'
+          || CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END
+          || ' /t/' || event_type
+          || '" ' || CAST(200 + (event_id % 4) * 100 AS VARCHAR)
+          || ' ' || CAST((event_id * 7) % 1000 AS VARCHAR)
+        END
+    """
+    _gx = "CASE WHEN regexp_matches(line, '{rx}') THEN {expr} END"
+    o["grok_extract"] = (
+        "WITH lines AS (SELECT event_id, " + _line_sql
+        + " AS line FROM events)\nSELECT event_id,\n  "
+        + ",\n  ".join(
+            _gx.format(rx=_rx, expr=expr) + f" AS {name}"
+            for name, expr in [
+                ("client", f"regexp_extract(line, '{_rx}', 1)"),
+                ("user", f"regexp_extract(line, '{_rx}', 2)"),
+                ("ts", f"regexp_extract(line, '{_rx}', 3)"),
+                ("method", f"regexp_extract(line, '{_rx}', 4)"),
+                ("path", f"regexp_extract(line, '{_rx}', 5)"),
+                ("status", f"CAST(regexp_extract(line, '{_rx}', 6) AS INT)"),
+                ("size", f"CAST(regexp_extract(line, '{_rx}', 7) AS BIGINT)"),
+            ]
+        )
+        + "\nFROM lines ORDER BY event_id"
+    )
+
+    from txtlogparser_spark.functions.pii import PII_PATTERNS
+
+    _pp = dict(PII_PATTERNS)
+    o["redact_pii"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 != 2
+                 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+                   || ' or 10.0.0.' || CAST((doc_id % 254) + 1 AS VARCHAR)
+                   || ' call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE text END AS t
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id,
+                 len(regexp_extract_all(t, '{_pp["EMAIL"]}')) AS n_email,
+                 regexp_replace(t, '{_pp["EMAIL"]}', '|||EMAIL|||', 'g') AS t
+               FROM base),
+        s2 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '{_pp["IP"]}')) AS n_ip,
+                 regexp_replace(t, '{_pp["IP"]}', '|||IP|||', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ip,
+                 len(regexp_extract_all(t, '{_pp["PHONE"]}')) AS n_phone,
+                 regexp_replace(t, '{_pp["PHONE"]}', '|||PHONE|||', 'g') AS t
+               FROM s2)
+        SELECT doc_id, CAST(n_email AS INT) AS n_email,
+               CAST(n_ip AS INT) AS n_ip, CAST(n_phone AS INT) AS n_phone,
+               t AS clean_text
+        FROM s3 ORDER BY doc_id
+    """
+
+    o["gopher_quality_flags"] = r"""
+        WITH b AS (
+          SELECT doc_id, COALESCE(text, '') AS t,
+                 regexp_split_to_array(COALESCE(text, ''), '\s+') AS ws,
+                 string_split(COALESCE(text, ''), chr(10)) AS ls
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            len(ws) BETWEEN 50 AND 100000 AS words_ok,
+            (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws))
+              BETWEEN 3 AND 10 AS mean_word_len_ok,
+            (len(regexp_extract_all(t, '#'))
+             + len(regexp_extract_all(t, '\.\.\.'))
+             + len(regexp_extract_all(t, '…')))
+              <= 0.1 * len(ws) AS symbol_ratio_ok,
+            len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))
+              * 1.0 / len(ls) <= 0.9 AS bullet_lines_ok,
+            len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+              * 1.0 / len(ls) <= 0.3 AS ellipsis_lines_ok,
+            len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              * 1.0 / len(ws) >= 0.8 AS alpha_words_ok,
+            len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+              >= 2 AS stopwords_ok
+          FROM b
+        )
+        SELECT doc_id, words_ok, mean_word_len_ok, symbol_ratio_ok,
+          bullet_lines_ok, ellipsis_lines_ok, alpha_words_ok, stopwords_ok,
+          (words_ok AND mean_word_len_ok AND symbol_ratio_ok
+           AND bullet_lines_ok AND ellipsis_lines_ok AND alpha_words_ok
+           AND stopwords_ok) AS gopher_pass
+        FROM f ORDER BY doc_id
+    """
+
+    o["token_budget_mix"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents
+        ),
+        b AS (
+          SELECT source,
+                 ((CAST(substr(source, 4) AS INT) % 3) + 1) * 300 AS budget
+          FROM (SELECT DISTINCT source FROM documents)
+        ),
+        w AS (
+          SELECT d.doc_id, d.source, d.n_tok, b.budget,
+            SUM(d.n_tok) OVER (
+              PARTITION BY d.source
+              ORDER BY '0' || substr(md5('budget-v1:' ||
+                CAST(d.doc_id AS VARCHAR)), 1, 8), d.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - d.n_tok AS cum_before
+          FROM d JOIN b USING (source)
+        )
+        SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok
+        FROM w WHERE cum_before < budget
+        ORDER BY source, doc_id
+    """
+
+    from txtlogparser_spark.operators.lm import BOS as _BOS
+
+    o["lm_perplexity"] = f"""
+        WITH rw AS (
+          SELECT list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+          FROM documents WHERE lang = 'en'
+        ),
+        rb AS (
+          SELECT CASE WHEN i = 1 THEN '{_BOS}' ELSE ws[i - 1] END AS prev,
+                 ws[i] AS word
+          FROM rw, unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        big AS (SELECT prev, word, COUNT(*) AS c FROM rb GROUP BY prev, word),
+        ctx AS (SELECT prev, COUNT(*) AS n FROM rb GROUP BY prev),
+        V AS (SELECT COUNT(DISTINCT word) + 1 AS v FROM rb),
+        dw AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+          FROM documents
+        ),
+        db AS (
+          SELECT doc_id,
+                 CASE WHEN i = 1 THEN '{_BOS}' ELSE ws[i - 1] END AS prev,
+                 ws[i] AS word
+          FROM dw, unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        lp AS (
+          SELECT doc_id,
+            log2((COALESCE(big.c, 0) + 1.0)
+                 / (COALESCE(ctx.n, 0) + 1.0 * (SELECT v FROM V))) AS lp
+          FROM db LEFT JOIN big USING (prev, word)
+                  LEFT JOIN ctx USING (prev)
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(AVG(lp), 6) AS avg_log2p,
+          ROUND(POW(2.0, -ROUND(AVG(lp), 6)), 6) AS ppl
+        FROM lp GROUP BY doc_id ORDER BY doc_id
+    """
+    return o
+
 
 # ------------------------------------------------- round-1 extension queries
 
@@ -3167,3 +3518,298 @@ def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_refine(v, ivf_centroids(v, 8), iters=2)
     return ivf_cell_stats(v, cents).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 late additions: the curation operators landed this round enter the
+# driver's 50-slot correctness window. Slots come from three consolidations
+# (quality_suite, log_nav_suite, pack_suite — same full-value-parity fold as
+# q_relational_suite); every new query below carries a complete DuckDB value
+# oracle ported from its pytest parity test.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated per-document quality/profiling suite (50-slot fold,
+    same rationale as q_relational_suite): text_quality, quality_scores,
+    repetition_stats, token_count_regex, langid, lang_stats as one
+    long-format query with FULL value parity — string values (langid
+    prediction, fingerprints) ride in the grp key, numerics/booleans in
+    val. The six underlying q_ functions remain standalone."""
+    lang_pred = q_langid(spark, sf_dir).withColumn("present", F.lit(1))
+    subs = [
+        _suite_unpivot(
+            "text_quality",
+            q_text_quality(spark, sf_dir),
+            ["doc_id", "fingerprint"],
+            ["n_words", "stopword_ratio", "has_dup_marker"],
+        ),
+        _suite_unpivot(
+            "quality_scores",
+            q_quality_scores(spark, sf_dir),
+            ["doc_id"],
+            ["quality", "punct_r"],
+        ),
+        _suite_unpivot(
+            "repetition_stats",
+            q_repetition_stats(spark, sf_dir),
+            ["doc_id"],
+            ["dup_word_frac", "top_bigram_frac", "is_repetitive"],
+        ),
+        _suite_unpivot(
+            "token_count_regex",
+            q_token_count_regex(spark, sf_dir),
+            ["doc_id"],
+            ["n_tokens", "n_chars_m"],
+        ),
+        _suite_unpivot(
+            "langid", lang_pred, ["doc_id", "lang", "pred_lang"], ["present"]
+        ),
+        _suite_unpivot(
+            "lang_stats",
+            q_lang_stats(spark, sf_dir),
+            ["lang"],
+            ["doc_count", "total_chars", "total_words"],
+        ),
+    ]
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("section", "grp", "metric")
+
+
+def q_log_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated navigation suite (N1-N4, 50-slot fold): next/prev
+    filter navigation and search navigation as one long-format query
+    with full value parity. Underlying q_ functions unchanged."""
+    subs = [
+        _suite_unpivot(
+            "log_nav_next",
+            q_log_nav_next(spark, sf_dir),
+            ["filter_id"],
+            ["next_index"],
+        ),
+        _suite_unpivot(
+            "log_nav_prev",
+            q_log_nav_prev(spark, sf_dir),
+            ["filter_id"],
+            ["prev_index", "prev_start"],
+        ),
+        _suite_unpivot(
+            "log_nav_search",
+            q_log_nav_search(spark, sf_dir),
+            ["search_id"],
+            ["next_index", "next_start"],
+        ),
+    ]
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("section", "grp", "metric")
+
+
+def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated sequence-packing suite (50-slot fold): the chunk
+    manifest, greedy bins, and assembled-chunk digests as one
+    long-format query; epoch_pack_assemble stays standalone (it is the
+    composition artifact). Chunk content digests ride in grp."""
+    subs = [
+        _suite_unpivot(
+            "pack_chunks",
+            q_pack_chunks(spark, sf_dir),
+            ["source", "doc_id"],
+            [
+                "n_tok",
+                "tok_start",
+                "first_chunk",
+                "last_chunk",
+                "chunk_offset",
+                "n_chunks",
+            ],
+        ),
+        _suite_unpivot(
+            "pack_greedy",
+            q_pack_greedy(spark, sf_dir),
+            ["source", "doc_id"],
+            ["n_tok", "bin_id", "pos_in_bin", "bin_fill_after"],
+        ),
+        _suite_unpivot(
+            "pack_assemble",
+            q_pack_assemble(spark, sf_dir),
+            ["source", "chunk_id", "tokens_md5"],
+            ["n_pieces", "n_tok"],
+        ),
+    ]
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("section", "grp", "metric")
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (operators/dedup.py::
+    paragraph_dedup — the CCNet/RefinedWeb boilerplate-removal stage):
+    first-occurrence keepers per md5(paragraph), reassembly in original
+    order. The flat word-soup fixture has no paragraph breaks, so the
+    query paragraphizes deterministically first — every 5th space
+    becomes a break (one regexp_replace, identical RE2/Java semantics,
+    replayed verbatim in the oracle). Exact-duplicate documents in the
+    fixture make later copies reassemble to ''."""
+    from txtlogparser_spark.operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n\n"
+        ).alias("text"),
+    )
+    return paragraph_dedup(d).orderBy("doc_id")
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, detection half (operators/dedup.py::
+    duplicated_span_table — the ExactSubstr recipe of Lee et al. 2021
+    over rolling k-word grams): every k-gram occurring >1 time in the
+    corpus is duplicated text; all but the first occurrence are marked
+    and merged into maximal word spans. Skew-proof: keeper election is
+    a partial groupBy agg (never a per-gram window)."""
+    from txtlogparser_spark.operators.dedup import duplicated_span_table
+
+    return duplicated_span_table(_docs_part(spark, sf_dir), k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, removal half (operators/dedup.py::
+    strip_duplicated_spans): every word covered by a duplicated span is
+    deleted, survivors rejoin with single spaces — one row per input
+    document with removal counts."""
+    from txtlogparser_spark.operators.dedup import strip_duplicated_spans
+
+    return strip_duplicated_spans(_docs_part(spark, sf_dir), k=8).orderBy(
+        "doc_id"
+    )
+
+
+_GROK_LOG_PATTERN = (
+    '%{IPV4:client} - %{USERNAME:user} \\[%{DATA:ts}\\] '
+    '"%{HTTPMETHOD:method} %{URIPATH:path}" %{INT:status:int} %{INT:size:long}'
+)
+
+
+def _grok_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic access-log lines synthesized from the events table
+    (integer arithmetic only — no float/timestamp formatting, so the
+    oracle rebuilds byte-identical lines in SQL). Every 17th event is a
+    malformed line exercising grok's unmatched->NULL path."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    line = F.concat(
+        F.lit("10."), (uid % 256).cast("string"),
+        F.lit(".0."), ((eid % 254) + 1).cast("string"),
+        F.lit(" - user"), uid.cast("string"),
+        F.lit(" [e"), eid.cast("string"), F.lit('] "'),
+        F.when(eid % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+        F.lit(" /t/"), F.col("event_type"),
+        F.lit('" '), (200 + (eid % 4) * 100).cast("string"),
+        F.lit(" "), ((eid * 7) % 1000).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.when(eid % 17 == 0, F.concat(F.lit("malformed "), eid.cast("string")))
+        .otherwise(line)
+        .alias("line"),
+    )
+
+
+def q_grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized grok extraction (functions/grok.py — the north_star's
+    'vectorized grok/regex extraction' front-end): %{NAME:field:type}
+    compiles to ONE Java/RE2 regex; typed fields come off as pure
+    map-side regexp_extract + cast inside whole-stage codegen. The
+    pattern library is RE2-compatible by construction, so the same
+    compiled regex replays in DuckDB regexp_extract (group N)."""
+    from txtlogparser_spark.functions.grok import grok_extract
+
+    out = grok_extract(_grok_lines(spark, sf_dir), _GROK_LOG_PATTERN)
+    return out.select(
+        "event_id", "client", "user", "ts", "method", "path",
+        "status", "size",
+    ).orderBy("event_id")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured PII redaction (functions/pii.py — the Dolma scrub
+    stage): email/IP/phone sentinels via sequential regexp_count +
+    regexp_replace, pure map-side. The word-soup fixture carries no
+    PII, so the query plants deterministic PII (email + dotted quad +
+    phone derived from doc_id) on 2 of every 3 documents — the clean
+    third pins the no-op path; the oracle replays the same synthesis
+    and the same ordered scrub ('g'-flag global replace)."""
+    from txtlogparser_spark.functions.pii import redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" or 10.0.0."), ((did % 254) + 1).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select(
+        "doc_id",
+        F.when(did % 3 != 2, planted).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(base).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    ).orderBy("doc_id")
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (functions/
+    text.py::gopher_flags, Rae et al. 2021 Appendix A1.1) at the
+    published thresholds: one boolean per rule + the conjunction.
+    Pure Catalyst HOFs, map-only at any scale. The 20-80-word fixture
+    docs straddle the 50-word minimum, so both outcomes appear."""
+    from txtlogparser_spark.functions.text import gopher_flags
+
+    d = _docs(spark, sf_dir)
+    flags = gopher_flags("text")
+    return d.select(
+        "doc_id", *[c.alias(k) for k, c in flags.items()]
+    ).orderBy("doc_id")
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (operators/sampling.py::
+    token_budget_mix — the trainer-facing step: mixtures are specified
+    in TOKENS per source): deterministic hash-order selection until
+    each source's budget is met, overshoot <= one document. Skew-proof:
+    a hash-threshold prefilter bounds the exact cumsum window to a
+    verified survivor prefix (never the whole group). Budgets here are
+    a deterministic function of the source name; the oracle replays the
+    naive full-group window — identical set by construction."""
+    from txtlogparser_spark.operators.sampling import token_budget_mix
+
+    d = _docs_part(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+    budgets = {s: ((int(s[3:]) % 3) + 1) * 300 for s in srcs}
+    return token_budget_mix(d, budgets).orderBy("source", "doc_id")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity scoring (operators/lm.py — the CCNet
+    quality-filter recipe): a bigram LM trained in ONE pass over the
+    lang='en' reference half scores every document with add-1 smoothed
+    log2 p / perplexity. Model tables join broadcast-or-bigram-key;
+    unseen contexts degrade to the 1/V floor through left joins."""
+    from txtlogparser_spark.operators.lm import bigram_lm_train, lm_score
+
+    d = _docs(spark, sf_dir)
+    big, ctx, vocab = bigram_lm_train(d.where(F.col("lang") == "en"))
+    out = lm_score(d, big, ctx, vocab).orderBy("doc_id")
+    return out

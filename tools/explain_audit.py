@@ -160,7 +160,11 @@ def main():
     bad_single = []
     scalar_agg = []
     for name in AUDITED:
-        df = qs[name](spark, sf_dir)
+        # folded suite members (quality/log_nav/pack suites) keep their
+        # standalone q_ functions — audit those plans directly; the
+        # suite row itself is the union of them plus the final sort
+        fn = qs.get(name) or getattr(m, f"q_{name}")
+        df = fn(spark, sf_dir)
         a = audit(df)
         schemas = "; ".join(s[:60] for s in a["read_schemas"][:3]) or "-"
         if a["single_partition"]:
