@@ -1009,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "token_budget_mix": q_token_budget_mix,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_segment": q_bpe_segment,
     }
 
 
@@ -2808,6 +2809,50 @@ def oracle_sql() -> dict[str, str]:
           ROUND(POW(2.0, -ROUND(AVG(lp), 6)), 6) AS ppl
         FROM lp GROUP BY doc_id ORDER BY doc_id
     """
+
+    # bpe_segment: the Catalyst merge fold replayed as chained
+    # non-overlapping string replaces over per-symbol-delimited strings
+    # (chr(1)||sym||chr(2)) — each symbol carries its own boundaries, so
+    # a replacement can never share a delimiter with the next match;
+    # equivalence to the fold (incl. run-merges) is pinned in
+    # tests/test_bpe_train.py::TestSegmentReplaceReplay
+    _merge_expr = "s"
+    for _, _l, _r, _c in _BPE_MERGES:
+        _merge_expr = (
+            f"replace({_merge_expr}, "
+            f"chr(1) || '{_l}' || chr(2) || chr(1) || '{_r}' || chr(2), "
+            f"chr(1) || '{_l}{_r}' || chr(2))"
+        )
+    o["bpe_segment"] = rf"""
+        WITH w AS (
+          SELECT doc_id, i AS wi, ws[i] AS wd
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS ws
+                FROM documents),
+               unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        sym0 AS (
+          SELECT doc_id, wi,
+            array_to_string(list_transform(range(1, length(wd) + 1),
+                                           i -> chr(1) || wd[i] || chr(2)), '')
+              || chr(1) || '</w>' || chr(2) AS s
+          FROM w
+        ),
+        m AS (SELECT doc_id, wi, {_merge_expr} AS s FROM sym0),
+        tok AS (
+          SELECT doc_id, wi,
+            string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS toks
+          FROM m
+        ),
+        agg AS (
+          SELECT doc_id, flatten(list(toks ORDER BY wi)) AS all_toks
+          FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(all_toks) AS INT) AS n_pieces,
+          md5(array_to_string(all_toks, ' ')) AS pieces_md5
+        FROM agg ORDER BY doc_id
+    """
     return o
 
 
@@ -3813,3 +3858,40 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, ctx, vocab = bigram_lm_train(d.where(F.col("lang") == "en"))
     out = lm_score(d, big, ctx, vocab).orderBy("doc_id")
     return out
+
+
+# sf0.01-trained head of the merge list (operators/bpe.py::bpe_train,
+# counts at sf0.01), applied as a FIXED tokenizer — the realistic shape:
+# a tokenizer is trained once and applied corpus-wide at any scale.
+_BPE_MERGES = [
+    (0, "e", "r", 4568),
+    (1, "e", "</w>", 4473),
+    (2, "n", "</w>", 2834),
+    (3, "er", "</w>", 2779),
+    (4, "o", "w", 2747),
+    (5, "ow", "</w>", 2747),
+    (6, "o", "r", 2696),
+    (7, "s", "t", 2676),
+]
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation (operators/bpe.py::bpe_segment — the
+    tokenizer-apply path): a fixed literal merge list (trained by
+    bpe_train; see _BPE_MERGES) replays over every document as a chain
+    of Catalyst folds — map-side only, no Python, no shuffle. The
+    oracle replays the SAME fold semantics in DuckDB as chained
+    non-overlapping string replaces over per-symbol-delimited strings
+    (chr(1)||sym||chr(2) wrapping makes every symbol carry its own
+    boundaries, so replace() can never share a delimiter between
+    matches — proven equivalent to the fold, incl. run-merge cases, in
+    tests/test_bpe_train.py::TestSegmentReplaceReplay)."""
+    from txtlogparser_spark.operators.bpe import bpe_segment
+
+    d = _docs(spark, sf_dir)
+    out = bpe_segment(d, _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_pieces"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("pieces_md5"),
+    ).orderBy("doc_id")

@@ -174,3 +174,75 @@ class TestBpeTrain:
         formed = {left + right for _, left, right, _c in merges}
         assert "low" + EOW in formed or "low" in formed
         assert any(u.endswith("est" + EOW) or u == "est" for u in formed)
+
+
+class TestSegmentReplaceReplay:
+    """The driver oracle for bpe_segment replays the Catalyst merge fold
+    in DuckDB as chained non-overlapping string replaces over
+    per-symbol-delimited strings (chr(1)||sym||chr(2) — every symbol
+    carries its own boundaries, so a replacement can never share a
+    delimiter with the next match). This pins the equivalence on the
+    adversarial shapes: run merges (a,a over 'aaaa'), chained merges
+    ((aa,a) after (a,a)), merges whose right side is EOW, and symbols
+    formed by earlier merges."""
+
+    MERGES = [
+        (0, "e", "r", 0), (1, "e", "</w>", 0), (2, "n", "</w>", 0),
+        (3, "er", "</w>", 0), (4, "o", "w", 0), (5, "ow", "</w>", 0),
+        (6, "o", "r", 0), (7, "s", "t", 0),
+        (8, "a", "a", 0), (9, "aa", "a", 0),
+    ]
+    DOCS = [
+        (1, "power steer row order fast"),
+        (2, "aaaa aaa aa a"),          # run-merge: fold pairs L->R
+        (3, "eee ee e"),               # (e,r)/(e,EOW) interplay
+        (4, "stow stower"),            # chained: s+t, o+w, ow+EOW
+        (5, "x"),                      # no merge applies
+        (6, "row row row owow"),       # repeated words + embedded 'ow'
+    ]
+
+    def test_fold_equals_duckdb_replace_replay(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(df, self.MERGES).collect()
+        }
+        expr = "s"
+        for _, l, r, _c in self.MERGES:
+            expr = (
+                f"replace({expr}, "
+                f"chr(1) || '{l}' || chr(2) || chr(1) || '{r}' || chr(2), "
+                f"chr(1) || '{l}{r}' || chr(2))"
+            )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.DOCS)
+        rows = con.execute(rf"""
+            WITH w AS (
+              SELECT doc_id, i AS wi, ws[i] AS wd
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x != '') AS ws
+                    FROM documents),
+                   unnest(range(1, len(ws) + 1)) AS t(i)
+            ),
+            sym0 AS (
+              SELECT doc_id, wi,
+                array_to_string(list_transform(range(1, length(wd) + 1),
+                                               i -> chr(1) || wd[i] || chr(2)), '')
+                  || chr(1) || '</w>' || chr(2) AS s
+              FROM w
+            ),
+            m AS (SELECT doc_id, wi, {expr} AS s FROM sym0),
+            tok AS (
+              SELECT doc_id, wi,
+                string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS toks
+              FROM m
+            )
+            SELECT doc_id, flatten(list(toks ORDER BY wi)) AS all_toks
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """).fetchall()
+        want = {r[0]: list(r[1]) for r in rows}
+        assert got == want
