@@ -211,10 +211,11 @@ class TestSegmentReplaceReplay:
         }
         expr = "s"
         for _, l, r, _c in self.MERGES:
+            le, re_ = l.replace("'", "''"), r.replace("'", "''")
             expr = (
                 f"replace({expr}, "
-                f"chr(1) || '{l}' || chr(2) || chr(1) || '{r}' || chr(2), "
-                f"chr(1) || '{l}{r}' || chr(2))"
+                f"chr(1) || '{le}' || chr(2) || chr(1) || '{re_}' || chr(2), "
+                f"chr(1) || '{le}{re_}' || chr(2))"
             )
         con = duckdb.connect()
         con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
