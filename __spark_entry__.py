@@ -322,6 +322,63 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END fuzzy-dedup artifact a curation run actually ships —
+    the per-document keep/drop decision table over the WHOLE corpus
+    (RefinedWeb/FineWeb-style MinHash dedup): minhash-LSH candidates →
+    candidate-restricted exact-Jaccard verify (≥0.5) → connected
+    components over the verified-pair graph → keeper = smallest doc id
+    of each component → every corpus doc left-joined to its component:
+
+        (doc_id, keeper_id, is_dup, group_size)
+
+    Docs in no verified pair keep themselves (group_size 1). Survivors =
+    WHERE NOT is_dup; the dup mass dropped = per-group (size-1). Like
+    epoch_pack_assemble this is a COMPOSITION query: every stage is an
+    already-oracled operator (dedup_minhash_lsh / dedup_ngram_jaccard /
+    dedup_groups), and the value here is the stage boundaries — the
+    left join back to the full corpus is where a production pass gets
+    its keep-list, and the boundary is where off-by-one keeper bugs
+    live. Scale: candidates are banded equi-joins, verify is
+    O(candidates), components is O(log diameter) rounds over the tiny
+    verified-pair set, and the final join is a broadcast (component
+    table ≪ corpus — it only holds docs in verified pairs)."""
+    from txtlogparser_spark.operators.dedup import (
+        duplicate_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    sh = shingle_table(d)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=16), num_hashes=16, band_size=4
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, candidates=cands).select(
+        "doc_a", "doc_b"
+    )
+    comp = duplicate_components(pairs)
+    sizes = comp.groupBy("group_rep").agg(
+        F.count(F.lit(1)).alias("_gsz")
+    )
+    labeled = comp.join(sizes, "group_rep")
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(labeled), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_rep", "doc_id").alias("keeper_id"),
+            (F.col("doc_id") != F.coalesce("group_rep", "doc_id")).alias(
+                "is_dup"
+            ),
+            F.coalesce(F.col("_gsz"), F.lit(1)).cast("long").alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (the exact
     baseline; LSH-bucketed variant is the scale path). Uses the
@@ -946,6 +1003,63 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _suite_union(subs)
 
 
+def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated near-dup candidate/probe suite (round-4, third fold,
+    same 50-slot rationale as q_relational_suite): dedup_minhash_lsh +
+    dedup_simhash + dedup_incremental_probe as one long-format query
+    with full value parity — each candidate pair (and the probe's
+    verified jacc) lands in a hashed (section, grp, metric, val) row,
+    and the DuckDB oracle replays the three original verified SQLs
+    verbatim via _osuite_sql. The dedup CHAIN coverage is unchanged:
+    dedup_ngram_jaccard / dedup_groups / fuzzy_dedup_corpus still
+    exercise banding+verify+components standalone."""
+    mh = q_dedup_minhash_lsh(spark, sf_dir).withColumn("present", F.lit(1))
+    subs = [
+        _suite_unpivot("dedup_minhash_lsh", mh, ["doc_a", "doc_b"], ["present"]),
+        _suite_unpivot(
+            "dedup_simhash",
+            q_dedup_simhash(spark, sf_dir),
+            ["doc_a", "doc_b"],
+            ["hamming"],
+        ),
+        _suite_unpivot(
+            "dedup_incremental_probe",
+            q_dedup_incremental_probe(spark, sf_dir),
+            ["new_id", "index_id"],
+            ["jacc"],
+        ),
+    ]
+    return _suite_union(subs)
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding (operators/packing.py::shard_plan)
+    — the writer-side step a trainer-facing sink needs: every doc goes
+    to one of 16 shards, shard = (tokens-before * 16) DIV total over the
+    deterministic md5 hash order, so per-shard token totals are equal
+    within one max doc length and each shard is a contiguous slice of
+    the shuffled stream. Result: the per-shard manifest
+    (shard, n_docs, char_total, sum_ids) — sum_ids pins the exact
+    membership, char_total pins the balance. Weight column here is
+    n_chars (the materialized doc length); at scale the same op runs on
+    n_tok of packed sequences. Integer arithmetic end-to-end → bit-exact
+    DuckDB replay of the flat window form (the bucket-decomposed Spark
+    cumsum equals it, same argument as epoch_shuffle)."""
+    from txtlogparser_spark.operators.packing import shard_plan
+
+    d = _docs_part(spark, sf_dir).select("doc_id", "n_chars")
+    planned = shard_plan(d, n_shards=16, key="doc_id", len_col="n_chars")
+    return (
+        planned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_total"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("shard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_route": q_log_route,
@@ -963,8 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_suite": q_dedup_suite,
+        "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # quality_suite folds text_quality + quality_scores +
@@ -993,7 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_terms": q_redact_terms,
         "corpus_funnel": q_corpus_funnel,
         "heavy_hitters_cms": q_heavy_hitters_cms,
-        "dedup_incremental_probe": q_dedup_incremental_probe,
+        "shard_plan": q_shard_plan,
         "quota_sample": q_quota_sample,
         "epoch_shuffle": q_epoch_shuffle,
         "data_quality_checks": q_data_quality_checks,
@@ -1251,6 +1365,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id AS doc_id, c.group_rep AS group_rep,
               CAST(s.group_size AS BIGINT) AS group_size
             FROM comp c JOIN sizes s USING (group_rep) ORDER BY doc_id
+        """,
+        # fuzzy_dedup_corpus: the dedup_groups chain verbatim, then the
+        # whole corpus left-joined to its component — the keep/drop table
+        "fuzzy_dedup_corpus": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT p.doc_a, p.doc_b FROM pairs p
+              JOIN cnt ca ON ca.doc_id = p.doc_a
+              JOIN cnt cb ON cb.doc_id = p.doc_b
+              WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS node, doc_b AS nbr FROM dup
+              UNION SELECT doc_b, doc_a FROM dup
+            ),
+            reach AS (
+              SELECT node, node AS lab FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.lab FROM edges e JOIN reach r ON r.node = e.nbr
+            ),
+            comp AS (SELECT node AS doc_id, MIN(lab) AS group_rep FROM reach GROUP BY node),
+            sizes AS (SELECT group_rep, COUNT(*) AS group_size FROM comp GROUP BY group_rep)
+            SELECT d.doc_id,
+              COALESCE(c.group_rep, d.doc_id) AS keeper_id,
+              d.doc_id <> COALESCE(c.group_rep, d.doc_id) AS is_dup,
+              CAST(COALESCE(s.group_size, 1) AS BIGINT) AS group_size
+            FROM documents d
+            LEFT JOIN comp c USING (doc_id)
+            LEFT JOIN sizes s ON s.group_rep = c.group_rep
+            ORDER BY d.doc_id
         """,
         "ann_cosine_topk": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2107,6 +2288,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.3
             ORDER BY new_id, index_id
         """,
+        # shard_plan: flat-window replay of the bucket-decomposed cumsum
+        # (integer DIV end-to-end — bit-exact across engines)
+        "shard_plan": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_chars,
+                SUM(CAST(n_chars AS BIGINT)) OVER (
+                  ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) - n_chars
+                  AS tok_before,
+                SUM(CAST(n_chars AS BIGINT)) OVER () AS total
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN total > 0
+                     THEN CAST((tok_before * 16) // total AS INT)
+                     ELSE 0 END AS shard
+              FROM c
+            )
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS char_total,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM s GROUP BY shard ORDER BY shard
+        """,
         "quota_sample": """
             WITH ranked AS (
               SELECT source, doc_id,
@@ -2534,6 +2743,15 @@ def oracle_sql() -> dict[str, str]:
          ["prev_index", "prev_start"], set()),
         ("log_nav_search", o.pop("log_nav_search"), ["search_id"],
          ["next_index", "next_start"], set()),
+    ])
+    o["dedup_suite"] = _osuite_sql([
+        ("dedup_minhash_lsh",
+         "SELECT *, 1 AS present FROM (" + o.pop("dedup_minhash_lsh") + ")",
+         ["doc_a", "doc_b"], ["present"], set()),
+        ("dedup_simhash", o.pop("dedup_simhash"), ["doc_a", "doc_b"],
+         ["hamming"], set()),
+        ("dedup_incremental_probe", o.pop("dedup_incremental_probe"),
+         ["new_id", "index_id"], ["jacc"], set()),
     ])
     o["pack_suite"] = _osuite_sql([
         ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],

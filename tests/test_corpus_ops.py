@@ -1079,3 +1079,140 @@ class TestGopherFlags:
             for r in rows
         }
         assert got == want
+
+
+class TestShardPlan:
+    """shard_plan: token-balanced contiguous-slice sharding
+    (operators/packing.py::shard_plan)."""
+
+    def _docs(self, spark, n=400, seed=7):
+        import random
+
+        rnd = random.Random(seed)
+        rows = [(i, rnd.randint(1, 500)) for i in range(n)]
+        return rows, spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+    def test_balance_and_membership(self, spark):
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        rows, df = self._docs(spark)
+        n_shards = 8
+        out = shard_plan(df, n_shards).collect()
+        assert len(out) == len(rows)
+        total = sum(t for _, t in rows)
+        maxlen = max(t for _, t in rows)
+        per = {}
+        for r in out:
+            assert 0 <= r["shard"] < n_shards
+            per.setdefault(r["shard"], 0)
+            per[r["shard"]] += r["n_tok"]
+        # every shard's token total within one max doc length of ideal
+        ideal = total / n_shards
+        for s, tok in per.items():
+            assert abs(tok - ideal) <= maxlen, (s, tok, ideal, maxlen)
+
+    def test_contiguous_in_hash_order_and_flat_replay(self, spark):
+        """shard is monotone in tok_before (contiguous slices), and the
+        bucket-decomposed cumsum equals the flat single-window replay."""
+        import hashlib
+
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        rows, df = self._docs(spark, n=300)
+        n_shards = 5
+        out = {r["doc_id"]: (r["tok_before"], r["shard"])
+               for r in shard_plan(df, n_shards).collect()}
+        # flat replay in plain Python
+        hh = {i: hashlib.md5(f"shard-v1:{i}".encode()).hexdigest()
+              for i, _ in rows}
+        order = sorted(rows, key=lambda it: (hh[it[0]], it[0]))
+        total = sum(t for _, t in rows)
+        run = 0
+        prev_shard = 0
+        for i, t in order:
+            want_shard = (run * n_shards) // total
+            assert out[i] == (run, want_shard), (i, out[i], (run, want_shard))
+            assert want_shard >= prev_shard  # contiguity / monotone
+            prev_shard = want_shard
+            run += t
+
+    def test_bucket_invariance_and_zero_total(self, spark):
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        _, df = self._docs(spark, n=150)
+        a = {(r["doc_id"], r["shard"])
+             for r in shard_plan(df, 4, bucket_hex=1).collect()}
+        b = {(r["doc_id"], r["shard"])
+             for r in shard_plan(df, 4, bucket_hex=3).collect()}
+        assert a == b
+        z = spark.createDataFrame(
+            [(1, 0), (2, 0)], "doc_id long, n_tok long"
+        )
+        zs = shard_plan(z, 4).collect()
+        assert {r["shard"] for r in zs} == {0}
+
+    def test_no_fact_table_single_partition(self, spark):
+        """The fact-table cumsum must decompose over hash buckets — the
+        only SinglePartition exchanges allowed are the tiny dim/scalar
+        aggregates (ordered_partition_dim class)."""
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        _, df = self._docs(spark, n=200)
+        plan = shard_plan(df, 8)._jdf.queryExecution().executedPlan().toString()
+        # a flat global window would show 'Window' below an
+        # 'Exchange SinglePartition' feeding the full fact scan; our
+        # windows are partitioned by _bkt
+        assert "partitionBy" not in plan  # sanity: physical plan text
+        for line in plan.splitlines():
+            if "Window" in line and "_local_end" in line:
+                assert "_bkt" in line, line
+
+    def test_invalid_n_shards(self, spark):
+        import pytest as _pytest
+
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        _, df = self._docs(spark, n=5)
+        with _pytest.raises(ValueError):
+            shard_plan(df, 0)
+
+
+class TestFuzzyDedupCorpus:
+    """fuzzy_dedup_corpus (driver query): whole-corpus keep/drop table
+    from the minhash->jaccard->components chain."""
+
+    def test_decision_table_consistency(self, spark):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod_fdc", "/root/repo/__spark_entry__.py"
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        sf = "/root/testdata/sf0.001"
+        rows = m.q_fuzzy_dedup_corpus(spark, sf).collect()
+        docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        assert len(rows) == docs  # never drops/duplicates corpus rows
+        groups = {}
+        for r in rows:
+            assert (r["keeper_id"] == r["doc_id"]) == (not r["is_dup"])
+            groups.setdefault(r["keeper_id"], []).append(
+                (r["doc_id"], r["group_size"])
+            )
+        for keeper, members in groups.items():
+            ids = sorted(i for i, _ in members)
+            sizes = {s for _, s in members}
+            assert keeper == ids[0]  # keeper = smallest member id
+            assert sizes == {len(members)}  # group_size consistent
+        # parity with the standalone components query on the same SF
+        comp = {
+            (r["doc_id"], r["group_rep"], r["group_size"])
+            for r in m.q_dedup_groups(spark, sf).collect()
+        }
+        mine = {
+            (r["doc_id"], r["keeper_id"], r["group_size"])
+            for r in rows
+            if r["group_size"] > 1 or r["is_dup"]
+        }
+        # every multi-doc component matches dedup_groups exactly
+        assert {c for c in comp if c[2] > 1} == {c for c in mine if c[2] > 1}

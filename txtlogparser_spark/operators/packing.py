@@ -251,3 +251,86 @@ def greedy_pack(
         F.col(len_col).cast("long").alias(len_col),
     )
     return rows.groupBy(part_col).applyInPandas(pack, out_schema)
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    key: str = "doc_id",
+    len_col: str = "n_tok",
+    seed: str = "shard-v1",
+    bucket_hex: int = 2,
+    out: str = "shard",
+) -> DataFrame:
+    """Token-balanced output sharding — the writer-side step after
+    shuffle/pack: assign every doc to one of `n_shards` shards so the
+    per-shard token totals are near-equal (each within max(len) of the
+    ideal total/n_shards) and each shard is a CONTIGUOUS slice of the
+    deterministic hash order (so a reader consuming shards in id order
+    replays the same stream, and a shard maps 1:1 to an output file via
+    df.repartition(n_shards, out)/partitionBy).
+
+        shard(doc) = (tok_before(doc) * n_shards) DIV total_tokens
+
+    with tok_before = tokens of all docs strictly before it in the
+    order (md5(seed ':' key), key). Integer arithmetic end-to-end, so
+    the plan replays bit-exactly in DuckDB. (long math: tok_before *
+    n_shards stays < 2^63 up to ~1e14 tokens x 1e4 shards.)
+
+    Scale shape — the same two hazards as chunk_pack/epoch_shuffle,
+    avoided the same way:
+      * the global cumsum decomposes over hash-prefix buckets (the
+        first `bucket_hex` hex chars of the hash are a PREFIX of the
+        sort key): per-bucket parallel ROWS-frame windows + a
+        16^bucket_hex-row totals dim whose prefix offsets come from a
+        broadcast strictly-smaller self-join (ordered_partition_dim's
+        trick) — no Exchange SinglePartition on the fact table;
+      * total_tokens rides in via a broadcast 1-row aggregate of that
+        tiny dim (the benign scalar-agg class), not a driver collect.
+
+    md5 buckets are uniform by construction, so hot sources cannot
+    serialize a task; raise bucket_hex at larger scales. Output: the
+    input columns + `tok_before` + `out`.
+    """
+    n = int(n_shards)
+    if n < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n}")
+    sk = F.md5(F.concat(F.lit(seed + ":"), F.col(key).cast("string")))
+    keyed = df.withColumn("_sk", sk).withColumn(
+        "_bkt", F.substring("_sk", 1, int(bucket_hex))
+    ).withColumn("_len", F.col(len_col).cast("long"))
+
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_sk", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.withColumn("_local_end", F.sum("_len").over(w_in))
+
+    dim = keyed.groupBy("_bkt").agg(F.sum("_len").alias("_tot"))
+    a, b = dim.alias("_sa"), dim.alias("_sb")
+    offs = (
+        a.join(F.broadcast(b), F.col("_sb._bkt") < F.col("_sa._bkt"), "left")
+        .groupBy(F.col("_sa._bkt").alias("_bkt"), F.col("_sa._tot").alias("_tot"))
+        .agg(F.coalesce(F.sum("_sb._tot"), F.lit(0)).cast("long").alias("_base"))
+        .select("_bkt", "_base")
+    )
+    total = dim.agg(F.sum("_tot").cast("long").alias("_total"))
+
+    assigned = (
+        local.join(F.broadcast(offs), "_bkt")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tok_before", F.col("_base") + F.col("_local_end") - F.col("_len")
+        )
+        .withColumn(
+            out,
+            F.when(
+                F.col("_total") > 0,
+                F.expr(f"(tok_before * {n}) DIV _total"),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )
+    return assigned.drop("_sk", "_bkt", "_len", "_local_end", "_base", "_total")
