@@ -439,3 +439,47 @@ def test_fused_prunes_unselected_sources_before_python(spark):
     filt_at = plan.rfind("source#")
     assert py_at != -1
     assert "isin" in plan.lower() or " IN (" in plan or "In(source" in plan
+
+
+class TestShardedSink:
+    def test_write_sharded_balances_and_roundtrips(
+        self, spark, fixture_dir, tmp_path
+    ):
+        """write_sharded: every routed row lands in exactly one shard,
+        per-shard token totals are within one max sequence length of
+        ideal, and each shard dir is a single sorted file."""
+        import glob
+
+        vocab = build_vocab()
+        info = spark.read.parquet(f"{fixture_dir}/source_info.parquet")
+        pipe = LogPipeline(spark, default_workspace(), vocab, source_info=info)
+        routed = pipe.run(pipe.load_sequences(f"{fixture_dir}/sequences"))
+        out = str(tmp_path / "out")
+        n_shards = 4
+        pipe.write_sharded(routed, out, n_shards)
+
+        back = spark.read.parquet(f"{out}/shards")
+        want = {
+            r["doc_id"]: r["n_tok"]
+            for r in routed.select("doc_id", "n_tok").collect()
+        }
+        rows = back.select("doc_id", "n_tok", "shard", "tok_before").collect()
+        assert sorted(r["doc_id"] for r in rows) == sorted(want)
+        total = sum(want.values())
+        maxlen = max(want.values())
+        per = {}
+        for r in rows:
+            assert want[r["doc_id"]] == r["n_tok"]
+            per.setdefault(r["shard"], 0)
+            per[r["shard"]] += r["n_tok"]
+        for s, tok in per.items():
+            assert abs(tok - total / n_shards) <= maxlen, (s, tok)
+        # one file per shard dir, rows sorted by stream position
+        for s in per:
+            files = glob.glob(f"{out}/shards/shard={s}/*.parquet")
+            assert len(files) == 1, files
+            import pyarrow.parquet as pq
+
+            tb = pq.read_table(files[0], columns=["tok_before"])
+            vals = tb.column("tok_before").to_pylist()
+            assert vals == sorted(vals)

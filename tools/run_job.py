@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--no-search", action="store_true")
     ap.add_argument("--compact", action="store_true",
                     help="AQE-rebalanced, sorted sink files (sources/compact.py)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="also write N token-balanced shard dirs of the "
+                         "routed sequences (operators/packing.py::shard_plan)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,6 +73,8 @@ def main() -> None:
     if not args.no_search:
         sc = pipe.search_counts(sink)
         sc.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "metrics_searches"))
+    if args.shards > 0:
+        pipe.write_sharded(sink, args.out, args.shards)
     dt = time.perf_counter() - t0
 
     print(

@@ -394,3 +394,29 @@ class LogPipeline:
             .partitionBy("route", "source")
             .parquet(f"{out_dir}/routed")
         )
+
+    def write_sharded(
+        self, routed: DataFrame, out_dir: str, n_shards: int
+    ) -> None:
+        """Trainer-facing sink: the routed sequences as `n_shards`
+        token-balanced shard directories (operators/packing.py::
+        shard_plan — shard totals within one max sequence length of
+        ideal, each shard a contiguous slice of the deterministic hash
+        order). One file per shard: repartition on the shard id +
+        sortWithinPartitions(tok_before) so a reader walking shard 0..N
+        replays the exact shuffled stream. The balance property is what
+        a data-parallel loader needs — equal tokens per worker, not
+        equal files — and it is deterministic across runs and cluster
+        sizes (same argument as epoch_shuffle)."""
+        from txtlogparser_spark.operators.packing import shard_plan
+
+        planned = shard_plan(
+            routed, n_shards, key="doc_id", len_col="n_tok"
+        )
+        (
+            planned.repartition(int(n_shards), "shard")
+            .sortWithinPartitions("tok_before")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{out_dir}/shards")
+        )
