@@ -1106,7 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_suite": q_corpus_stats_suite,
         "redact_terms": q_redact_terms,
         "corpus_funnel": q_corpus_funnel,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "sketch_suite": q_sketch_suite,
         "shard_plan": q_shard_plan,
         "quota_sample": q_quota_sample,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2238,6 +2238,46 @@ def oracle_sql() -> dict[str, str]:
             FROM top t JOIN est e USING (item)
             ORDER BY true_n DESC, word ASC
         """,
+        # bloom_prior_dedup: the 63-bit-block Bloom filter replayed with
+        # the same md5 position hashing (bit 63 never used — DuckDB's
+        # 1::BIGINT << 63 overflows); maybe = all k bits set, is_dup =
+        # exact digest membership (verify restricted to maybe rows on
+        # the Spark side; same values since bloom has no false negatives)
+        "bloom_prior_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS dg
+              FROM documents),
+            prior AS (SELECT DISTINCT dg FROM d WHERE doc_id % 2 = 0),
+            arriving AS (SELECT doc_id, dg FROM d WHERE doc_id % 2 = 1),
+            bpos AS (
+              SELECT CAST(('0x' || substr(md5('bloom-v1:' || i || ':' || dg), 1, 15))
+                          AS BIGINT) % 2048 AS p
+              FROM prior, unnest(range(0, 3)) AS t(i)
+            ),
+            filt AS (
+              SELECT p // 63 AS block,
+                bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+              FROM bpos GROUP BY 1
+            ),
+            probe AS (
+              SELECT a.doc_id, a.dg,
+                CAST(('0x' || substr(md5('bloom-v1:' || t.i || ':' || a.dg), 1, 15))
+                     AS BIGINT) % 2048 AS p
+              FROM arriving a, unnest(range(0, 3)) AS t(i)
+            ),
+            hits AS (
+              SELECT doc_id, dg,
+                BOOL_AND(COALESCE((f.bits >> CAST(p % 63 AS INT)) & 1, 0) = 1)
+                  AS maybe_dup
+              FROM probe LEFT JOIN filt f ON f.block = p // 63
+              GROUP BY doc_id, dg
+            )
+            SELECT h.doc_id, h.maybe_dup,
+              (h.maybe_dup AND pr.dg IS NOT NULL) AS is_dup
+            FROM hits h LEFT JOIN prior pr ON pr.dg = h.dg
+            ORDER BY h.doc_id
+        """,
         # dedup_incremental_probe: same minhash/band replay as the batch
         # jaccard oracle, with the candidate join restricted to
         # (odd = new shard) x (even = prebuilt index) pairs
@@ -2752,6 +2792,12 @@ def oracle_sql() -> dict[str, str]:
          ["hamming"], set()),
         ("dedup_incremental_probe", o.pop("dedup_incremental_probe"),
          ["new_id", "index_id"], ["jacc"], set()),
+    ])
+    o["sketch_suite"] = _osuite_sql([
+        ("heavy_hitters_cms", o.pop("heavy_hitters_cms"), ["word"],
+         ["true_n", "est_n"], set()),
+        ("bloom_prior_dedup", o.pop("bloom_prior_dedup"), ["doc_id"],
+         ["maybe_dup", "is_dup"], {"maybe_dup", "is_dup"}),
     ])
     o["pack_suite"] = _osuite_sql([
         ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],
@@ -3638,6 +3684,77 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_n").desc(), F.col("word").asc())
     )
+
+
+def q_bloom_prior_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered incremental exact dedup (operators/sketches.py::
+    bloom_build/bloom_probe): even doc_ids play the ALREADY-CURATED
+    corpus, odd doc_ids the arriving shard. The historical digest set is
+    summarized as a 2048-bit / k=3 Bloom filter (m/8 bytes total, built
+    with map-side bit_or partials — shuffle <= m/63 rows per task);
+    probing is k broadcast joins, so the arriving shard NEVER shuffles
+    for the membership check, and only the maybe_dup fraction pays the
+    exact verify join against the digest table. No false negatives by
+    construction (every true dup reaches verify); false positives at
+    the filter's design rate surface here as maybe_dup AND NOT is_dup —
+    the fixture sizing (~250 keys in 2048 bits, k=3) deliberately
+    yields a few so the oracle pins both paths. The digest is a 5-word
+    PREFIX fingerprint (doc-head dedup — the fixture has no full-text
+    exact dups across the parity split, but near-dup docs share
+    openings, so this key exercises the true-hit path too). At 100 TB
+    the same filter over 10^10 digests at 10 bits/key is ~12 GB —
+    sharded by digest prefix into broadcastable slices, each probing
+    the matching slice of the arriving shard; the composition is the
+    same plan."""
+    from txtlogparser_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = _docs_part(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))).alias("dg"),
+    )
+    prior = d.filter(F.col("doc_id") % 2 == 0).select("dg").distinct()
+    arriving = d.filter(F.col("doc_id") % 2 == 1)
+    filt = bloom_build(prior, "dg", m_bits=2048, k=3)
+    probed = bloom_probe(arriving, "dg", filt, m_bits=2048, k=3, out="maybe_dup")
+    verified = (
+        probed.filter("maybe_dup")
+        .join(prior.withColumn("_hit", F.lit(True)), "dg", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_dup"))
+    )
+    return (
+        probed.select("doc_id", "maybe_dup")
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated mergeable-sketch suite (fourth fold, same 50-slot
+    rationale as q_relational_suite): heavy_hitters_cms +
+    bloom_prior_dedup as one long-format query with full value parity —
+    the CM-sketch estimates and every per-doc Bloom decision land in
+    hashed (section, grp, metric, val) rows; the DuckDB oracle replays
+    both original SQLs verbatim via _osuite_sql."""
+    subs = [
+        _suite_unpivot(
+            "heavy_hitters_cms",
+            q_heavy_hitters_cms(spark, sf_dir),
+            ["word"],
+            ["true_n", "est_n"],
+        ),
+        _suite_unpivot(
+            "bloom_prior_dedup",
+            q_bloom_prior_dedup(spark, sf_dir),
+            ["doc_id"],
+            ["maybe_dup", "is_dup"],
+        ),
+    ]
+    return _suite_union(subs)
 
 
 def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

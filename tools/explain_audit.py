@@ -51,6 +51,7 @@ AUDITED = [
     "repetition_stats",
     "corpus_stats_suite",
     "corpus_funnel",
+    "bloom_prior_dedup",
 ]
 # The curated list above orders the interesting plans first; every other
 # registered driver query is appended at runtime so the audit covers the

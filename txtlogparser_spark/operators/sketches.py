@@ -109,3 +109,120 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch.
+#
+# The membership counterpart of the CM sketch above, for the incremental-
+# curation join nobody can afford at 100 TB: "is this arriving document's
+# digest already in the curated corpus?" A raw anti-join shuffles the whole
+# arriving shard against the whole historical digest set; a Bloom filter of
+# the historical set is m/8 bytes total, broadcasts to every task, and
+# turns the check into a map-side probe — only the (tiny) maybe-member
+# fraction proceeds to the exact verify join. No false negatives by
+# construction, so the verify stage sees every true duplicate.
+#
+# Determinism & portability: positions come from the repo's standard
+# md5-hex trick (hash i of v = first 15 hex chars of md5('seed:i:' || v)
+# mod m), and the bit array is packed 63 bits per BIGINT block —
+# 63, not 64, because DuckDB's `1::BIGINT << 63` raises Out of Range
+# (signed overflow) while bit 62 is safe in both engines; the packing is
+# a storage choice, invisible to membership semantics. The whole filter
+# (positions, blocks, false positives) therefore replays bit-exactly in
+# the DuckDB oracle.
+#
+# Scale shape: build = explode(k positions per item) -> groupBy(block)
+# bit_or with map-side partial combine (shuffle <= ceil(m/63) rows per
+# task regardless of item count or skew); merge = union + bit_or (the
+# per-day/per-corpus filters compose); probe = k BROADCAST joins on the
+# block id — zero Exchange on the probed fact table (pinned in
+# tests/test_bloom.py).
+# ---------------------------------------------------------------------------
+
+_BLOCK_BITS = 63
+
+
+def _bloom_pos(item: Column, i: int, m_bits: int, seed: str) -> Column:
+    """Position of hash i for an item: first 15 md5 hex chars (60 bits —
+    modulo bias < 2^-40 for any practical m) mod m_bits. DuckDB replay:
+    CAST(('0x' || substr(md5(seed||':'||i||':'||v), 1, 15)) AS BIGINT)
+    % m_bits."""
+    h = F.md5(F.concat(F.lit(f"{seed}:{i}:"), item.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str = "item",
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Bloom filter of the items: (block:long, bits:long) rows, one per
+    NON-EMPTY 63-bit block (absent block = all zero). Size the filter
+    with the usual calculus: m ≈ -n·ln(p)/ln(2)², k ≈ (m/n)·ln(2);
+    10 bits/key + k=7 gives p≈1%, k=4 at 10 bits/key ≈ 1.2%."""
+    if m_bits < 1 or k < 1:
+        raise ValueError(f"need m_bits>=1 and k>=1, got {m_bits}, {k}")
+    item = F.col(item_col)
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(item, i, m_bits, seed) for i in range(k)])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p DIV {_BLOCK_BITS}").alias("block"),
+            (F.col("p") % _BLOCK_BITS).cast("int").alias("b"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two filters built with identical (m_bits, k, seed)."""
+    return (
+        a.unionByName(b).groupBy("block").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    item_col: str,
+    filt: DataFrame,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    seed: str = "bloom-v1",
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Append `out`: True iff ALL k bits for df[item_col] are set in the
+    filter — i.e. maybe-member (no false negatives; false positives at
+    the filter's design rate). Plan shape: k broadcast left joins on the
+    block id, so the probed table never shuffles; the filter (≤ m/63
+    rows ≈ m/8 bytes) broadcasts once per join."""
+    item = F.col(item_col)
+    hits = []
+    res = df
+    tmp = []
+    for i in range(k):
+        p, blk, bw = f"_bfp{i}", f"_bfb{i}", f"_bfw{i}"
+        tmp += [p, blk, bw]
+        res = res.withColumn(p, _bloom_pos(item, i, m_bits, seed))
+        res = res.withColumn(blk, F.expr(f"{p} DIV {_BLOCK_BITS}"))
+        f = filt.select(F.col("block").alias(blk), F.col("bits").alias(bw))
+        res = res.join(F.broadcast(f), blk, "left")
+        hits.append(
+            F.coalesce(
+                F.expr(
+                    f"(shiftright({bw}, CAST({p} % {_BLOCK_BITS} AS INT)) & 1)"
+                    " = 1"
+                ),
+                F.lit(False),
+            )
+        )
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    return res.withColumn(out, cond).drop(*tmp)
