@@ -1,0 +1,155 @@
+"""Z-order (Morton curve) data layout: multi-column scan pruning.
+
+Bucketing (sources/bucketed.py) removes repeated JOIN shuffles; this
+module attacks the other storage-side cost at 100 TB — SCAN volume
+under multi-column predicates. Sorting the table by one column lets
+parquet min/max footer stats skip files for predicates on THAT column
+only; a query filtering on (time window × source × length band) still
+reads everything. Interleaving the bits of several columns into one
+Morton key and range-partitioning + sorting by it gives every file a
+small hyper-rectangle of the key space, so min/max stats prune files
+for predicates on ANY prefix-free subset of the z-ordered columns —
+the same technique Delta/Iceberg expose as `ZORDER BY` / `sort-order
+with zorder`, built here from plain Catalyst expressions.
+
+How it stays Spark/oracle-friendly:
+  * the key is pure integer shift/mask arithmetic (`shiftleft`,
+    `shiftright`, `&`, `|` over BIGINT), inside whole-stage codegen —
+    no UDF, and DuckDB replays it bit-exactly with the same expression;
+  * normalization to the 2^bits grid uses CALLER-SUPPLIED bounds (a
+    production layout job computes them once with a stats pass and
+    pins them in the table's metadata — passing them explicitly keeps
+    the key deterministic and replayable instead of depending on a
+    hidden global aggregate);
+  * the write is `repartitionByRange(n_files, zkey)` +
+    `sortWithinPartitions(zkey)` — contiguous key ranges per file, the
+    property the min/max pruning argument needs. repartitionByRange
+    samples per-partition to pick bounds (no single-task funnel).
+
+The payoff is measured, not asserted: tests/test_layout.py reads the
+parquet FOOTER stats of the written files and shows a 2-d box
+predicate overlaps ~O(√files) of the z-ordered layout vs ~all files
+of the single-column-sorted one, with identical query results.
+
+At 100 TB the z-key doubles as an Iceberg hidden-partition /
+sort-order column; `bits` bounds key size (2 cols × 20 bits = 40-bit
+keys — well inside BIGINT; up to 4 cols × 15 bits fit too).
+
+Reference parity: no layout concept in TxtLogParser (it re-reads flat
+files per refresh); 100-TB extension per the brief's "push down and
+prune" mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def grid_coord(
+    col: str, lo: float, hi: float, bits: int
+) -> Column:
+    """Map a numeric column into the [0, 2^bits) integer grid using
+    fixed caller-supplied bounds (values at/under lo → 0, at/over hi →
+    2^bits - 1). Pure arithmetic: floor-scale, clamp."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    n = 1 << bits
+    scaled = F.floor(
+        (F.col(col).cast("double") - F.lit(float(lo)))
+        * F.lit(float(n))
+        / F.lit(float(hi) - float(lo))
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(n - 1))
+
+
+def zorder_key(coords: list[Column], bits: int) -> Column:
+    """Morton-interleave grid coordinates (each already in [0, 2^bits))
+    into one BIGINT: bit i of coordinate j lands at position
+    i*len(coords) + j. len(coords)*bits must stay < 63. Expression-only
+    (shift/mask/sum) — whole-stage codegen on the Spark side, the same
+    arithmetic replays in DuckDB."""
+    d = len(coords)
+    if d < 1:
+        raise ValueError("need at least one coordinate")
+    if d * bits >= 63:
+        raise ValueError(f"{d} cols x {bits} bits overflow BIGINT")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(coords):
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("long"), i) % 2, i * d + j
+            ).cast("long")
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[tuple[str, float, float]],
+    bits: int = 12,
+    n_files: int = 16,
+    key_col: str = "_z",
+) -> None:
+    """Write df z-ordered by the given (column, lo, hi) specs: contiguous
+    Morton-key ranges per output file via repartitionByRange + in-file
+    sort. The key column is dropped from the output (it is a layout
+    artifact; recompute it from the pinned bounds when re-laying-out)."""
+    zk = zorder_key(
+        [grid_coord(c, lo, hi, bits) for c, lo, hi in cols], bits
+    )
+    (
+        df.withColumn(key_col, zk)
+        .repartitionByRange(int(n_files), key_col)
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max footer stats for the given columns — the
+    evidence surface for 'this layout prunes': a reader (Spark parquet
+    scan, Iceberg manifest filter) skips a file when the predicate box
+    cannot overlap [min, max]."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo: dict = {}
+        hi: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name in cols and c.statistics is not None:
+                    s = c.statistics
+                    lo[name] = min(lo.get(name, s.min), s.min)
+                    hi[name] = max(hi.get(name, s.max), s.max)
+        out.append({"file": os.path.basename(f), "min": lo, "max": hi})
+    return out
+
+
+def files_overlapping_box(
+    stats: list[dict], box: dict[str, tuple[float, float]]
+) -> int:
+    """How many files a min/max-pruning reader must open for a
+    conjunctive range predicate {col: (lo, hi)} (inclusive)."""
+    n = 0
+    for st in stats:
+        ok = True
+        for c, (lo, hi) in box.items():
+            if c not in st["min"]:
+                ok = True
+                break
+            if st["max"][c] < lo or st["min"][c] > hi:
+                ok = False
+                break
+        n += ok
+    return n
