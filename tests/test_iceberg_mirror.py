@@ -156,3 +156,67 @@ class TestSnapshotTable:
             t.read(99)
         with pytest.raises(ValueError, match="unknown snapshot"):
             t.incremental(99)
+
+
+class TestSnapshotMaintenance:
+    """expire_snapshots / rewrite_data_files: reachability-scoped
+    physical deletes, preserved answerable reads, refused invalid
+    retention."""
+
+    def _ids(self, df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    def test_expire_keeps_needed_ancestors(self, spark, tmp_path):
+        import os
+
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        t.append(_seqs(spark, "a", n=3))      # 1: expired
+        t.append(_seqs(spark, "b", n=3))      # 2: expired
+        s3 = t.overwrite(_seqs(spark, "c", n=4))  # 3: ancestor of 4,5
+        s4 = t.append(_seqs(spark, "d", n=2))
+        s5 = t.append(_seqs(spark, "e", n=2))
+        before = self._ids(t.read())
+        res = t.expire_snapshots(retain_last=2)
+        assert res["expired"] == [1, 2]
+        # dirs of 1,2 deleted; the overwrite dir survives (4 and 5 read
+        # through it) even though snapshot 3 is outside retain_last=2
+        assert not os.path.exists(str(tmp_path / "tbl" / "snap-00001"))
+        assert not os.path.exists(str(tmp_path / "tbl" / "snap-00002"))
+        assert os.path.exists(str(tmp_path / "tbl" / "snap-00003"))
+        assert self._ids(t.read()) == before
+        assert len(self._ids(t.read(s4))) == 6
+        assert len(self._ids(t.read(s3))) == 4  # kept ancestor still answers
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            t.read(1)
+        # incremental over the retained window still works
+        assert len(self._ids(t.incremental(s4, s5))) == 2
+
+    def test_expire_noop_and_validation(self, spark, tmp_path):
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        t.append(_seqs(spark, "a", n=3))
+        assert t.expire_snapshots(retain_last=5)["expired"] == []
+        with pytest.raises(ValueError, match="retain_last"):
+            t.expire_snapshots(retain_last=0)
+
+    def test_rewrite_then_expire_reclaims_history(self, spark, tmp_path):
+        import os
+
+        from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"))
+        t.append(_seqs(spark, "a", n=3))
+        t.append(_seqs(spark, "b", n=3))
+        before = self._ids(t.read())
+        sid = t.rewrite_data_files()          # one compacted overwrite
+        res = t.expire_snapshots(retain_last=1)
+        assert res["expired"] == [1, 2]
+        assert self._ids(t.read()) == before
+        assert t.current_snapshot() == sid
+        left = sorted(
+            d for d in os.listdir(str(tmp_path / "tbl")) if d.startswith("snap-")
+        )
+        assert left == [f"snap-{sid:05d}"]

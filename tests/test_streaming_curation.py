@@ -194,3 +194,41 @@ def test_stream_dedup_within_watermark_builtin(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select doc_id, text from dd_wm").collect()
     assert sorted((r["doc_id"], r["text"]) for r in got) == [(0, "alpha"), (1, "beta")]
+
+
+def test_stream_bloom_probe_matches_batch(spark, doc_dir, tmp_path):
+    """Stream-static shape of the Bloom membership gate: the filter is a
+    STATIC table (built from the curated corpus, refreshed per snapshot)
+    and arriving documents stream through bloom_probe's k broadcast
+    joins unchanged — stateless per row, so availableNow over the same
+    files must equal the batch probe exactly (false positives included:
+    the filter is deterministic)."""
+    from txtlogparser_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(doc_dir)
+    members = docs.filter("doc_id % 2 = 0").select(F.md5(F.col("text")).alias("dg"))
+    fpath = str(tmp_path / "filt")
+    bloom_build(members, "dg", m_bits=4096, k=4).write.parquet(fpath)
+    filt = spark.read.parquet(fpath)
+
+    def probe(df):
+        return bloom_probe(
+            df.withColumn("dg", F.md5("text")), "dg", filt, m_bits=4096, k=4
+        ).select("doc_id", "maybe_member")
+
+    batch = sorted(map(tuple, probe(docs).collect()))
+    assert any(m for _, m in batch) and not all(m for _, m in batch)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    q = (
+        probe(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from bloom_stream").collect())
+    )
+    assert got == batch

@@ -190,3 +190,63 @@ class SnapshotTable:
         if not window:
             return self.read(to_snapshot).limit(0)
         return self._read_dirs([r["data_dir"] for r in window])
+
+    # ---- maintenance ----
+    def expire_snapshots(self, retain_last: int) -> dict:
+        """Iceberg `expireSnapshots(retainLast=N)` analog: drop history
+        older than the last N snapshots, physically deleting only data
+        dirs that NO retained snapshot's read chain references (a
+        retained snapshot's chain reaches back to its last overwrite,
+        so ancestor dirs it still needs survive even when their own
+        snapshot ids fall outside the retained window — the same
+        reachability rule Iceberg applies to data files). Manifest rows
+        for needed ancestors are kept too, so every still-answerable
+        time-travel read keeps answering; expired ids raise the normal
+        unknown-snapshot error afterwards.
+
+        Mirror simplification vs real Iceberg (documented, not hidden):
+        the manifest rewrite below is not an atomic metadata swap — a
+        crash between the data-dir deletes and the manifest write can
+        leave rows pointing at deleted dirs. Real Iceberg orders it the
+        safe way round with an atomic pointer swap; the mirror accepts
+        the window to stay a plain-parquet emulation.
+        """
+        import shutil
+
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        rows = self._rows()
+        if len(rows) <= retain_last:
+            return {"expired": [], "deleted_dirs": [], "retained": len(rows)}
+        retained_ids = [r["snapshot_id"] for r in rows[-retain_last:]]
+        needed_dirs: set = set()
+        for sid in retained_ids:
+            needed_dirs.update(r["data_dir"] for r in self._chain(sid))
+        keep_rows = [
+            r for r in rows
+            if r["snapshot_id"] in retained_ids or r["data_dir"] in needed_dirs
+        ]
+        drop = [r for r in rows if r not in keep_rows]
+        deleted = []
+        for r in drop:
+            # only ever touch this table's own snap-* dirs
+            if os.path.dirname(r["data_dir"]) == self.root.rstrip("/"):
+                shutil.rmtree(r["data_dir"], ignore_errors=True)
+                deleted.append(r["data_dir"])
+        shutil.rmtree(self.manifest_dir, ignore_errors=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.spark.createDataFrame(
+            [tuple(r) for r in keep_rows], MANIFEST_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self.manifest_dir)
+        return {
+            "expired": [r["snapshot_id"] for r in drop],
+            "deleted_dirs": deleted,
+            "retained": len(keep_rows),
+        }
+
+    def rewrite_data_files(self) -> int:
+        """Iceberg `rewriteDataFiles` analog for the mirror: compact the
+        CURRENT state into one fresh overwrite commit (new single chain
+        root). Pair with expire_snapshots to actually reclaim the old
+        dirs."""
+        return self.overwrite(self.read())
