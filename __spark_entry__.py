@@ -1098,7 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_windows": q_user_session_windows,
         "events_asof_join": q_events_asof_join,
         "events_session_range_join": q_events_session_range_join,
-        "decontaminate_eval": q_decontaminate_eval,
+        "decontam_suite": q_decontam_suite,
         "source_mix_sample": q_source_mix_sample,
         # pack_suite folds pack_chunks + pack_greedy + pack_assemble
         # (epoch_pack_assemble stays standalone as the composition)
@@ -1123,7 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "gopher_quality_flags": q_gopher_quality_flags,
         "token_budget_mix": q_token_budget_mix,
-        "lm_perplexity": q_lm_perplexity,
+        "lm_suite": q_lm_suite,
         "bpe_segment": q_bpe_segment,
     }
 
@@ -1981,6 +1981,69 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
         """,
+        # decontaminate_fuzzy: the same minhash/band replay as the dedup
+        # oracles, candidates restricted to train(%10<>0) × eval(%10=0),
+        # verified at Jaccard >= 0.5 ON THE ROUNDED value (the engine
+        # filters the round(,6) column), folded to per-train-doc flags
+        # with -1 sentinels on the clean path
+        "decontaminate_fuzzy": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM w)
+            ),
+            hashed AS (
+              SELECT doc_id, seed,
+                MIN(substr(md5(seed || ':' || shingle), 1, 8)) AS mh
+              FROM sh, unnest(range(0, 16)) AS t(seed)
+              GROUP BY doc_id, seed
+            ),
+            sig AS (
+              SELECT doc_id,
+                list_sort(list(printf('%02d', seed) || '=' || mh)) AS sig
+              FROM hashed GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              FROM sig, unnest(range(0, 4)) AS t(b)
+            ),
+            cands AS (
+              SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+              FROM banded t JOIN banded e
+                ON t.b = e.b AND t.bkey = e.bkey
+              WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT c.train_id, c.eval_id, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.train_id
+              JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            ver AS (
+              SELECT p.train_id, p.eval_id,
+                ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jacc
+              FROM pairs p
+              JOIN cnt ca ON ca.doc_id = p.train_id
+              JOIN cnt cb ON cb.doc_id = p.eval_id
+              WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
+            ),
+            hits AS (
+              SELECT train_id, MAX(jacc) AS bj, MIN(eval_id) AS me
+              FROM ver GROUP BY 1
+            )
+            SELECT d.doc_id,
+              h.train_id IS NOT NULL AS is_fuzzy_contaminated,
+              COALESCE(h.bj, -1.0) AS best_jacc,
+              CAST(COALESCE(h.me, -1) AS BIGINT) AS matched_eval_id
+            FROM documents d LEFT JOIN hits h ON h.train_id = d.doc_id
+            WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id
+        """,
         "repetition_stats": """
             WITH b AS (
               SELECT doc_id, words,
@@ -2277,6 +2340,62 @@ def oracle_sql() -> dict[str, str]:
               (h.maybe_dup AND pr.dg IS NOT NULL) AS is_dup
             FROM hits h LEFT JOIN prior pr ON pr.dg = h.dg
             ORDER BY h.doc_id
+        """,
+        # hll_distinct_words: the 2^12-register HLL replayed with the same
+        # md5 register spec (bucket = first 3 hex chars, rho = 53 -
+        # bit_length of the next 52 bits) and the same EXACT integer-
+        # scaled estimator denominator (terms 2^(53-rho) summed as
+        # HUGEINT), so the only float ops — one division, one ln on the
+        # linear-counting branch, the final round(,4) — are identical
+        # IEEE doubles in both engines. '__all__' re-sketches the union,
+        # which equals the Spark side's per-source merge bit-exactly
+        # (merge(build(A),build(B)) == build(A ∪ B) by per-register max).
+        "hll_distinct_words": """
+            WITH words AS (
+              SELECT source, unnest(string_split(text, ' ')) AS item
+              FROM documents
+            ),
+            both_scopes AS (
+              SELECT source, item FROM words
+              UNION ALL
+              SELECT '__all__' AS source, item FROM words
+            ),
+            sk AS (
+              SELECT source,
+                CAST(('0x' || substr(md5('hll-v1:' || item), 1, 3)) AS BIGINT)
+                  AS bucket,
+                MAX(CASE
+                  WHEN CAST(('0x' || substr(md5('hll-v1:' || item), 4, 13))
+                       AS BIGINT) = 0 THEN 53
+                  ELSE 53 - length(bin(CAST(('0x' ||
+                       substr(md5('hll-v1:' || item), 4, 13)) AS BIGINT)))
+                END) AS rho
+              FROM both_scopes GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT source, COUNT(*) AS occupied,
+                SUM(1::BIGINT << (53 - rho)) AS s
+              FROM sk GROUP BY 1
+            ),
+            tru AS (
+              SELECT source, COUNT(DISTINCT item) AS true_distinct
+              FROM both_scopes GROUP BY 1
+            )
+            SELECT t.source, CAST(t.true_distinct AS BIGINT) AS true_distinct,
+              CASE
+                WHEN 1.0897106820939319e+23 /
+                     CAST((4096 - occupied)::HUGEINT * 9007199254740992::HUGEINT
+                          + s AS DOUBLE) <= 10240.0
+                     AND (4096 - occupied) > 0
+                THEN round(4096.0 * ln(4096.0 /
+                     CAST(4096 - occupied AS DOUBLE)), 4)
+                ELSE round(1.0897106820939319e+23 /
+                     CAST((4096 - occupied)::HUGEINT * 9007199254740992::HUGEINT
+                          + s AS DOUBLE), 4)
+              END AS est_hll,
+              CAST(occupied AS BIGINT) AS occupied
+            FROM tru t JOIN agg USING (source)
+            ORDER BY source
         """,
         # dedup_incremental_probe: same minhash/band replay as the batch
         # jaccard oracle, with the candidate join restricted to
@@ -2798,6 +2917,17 @@ def oracle_sql() -> dict[str, str]:
          ["true_n", "est_n"], set()),
         ("bloom_prior_dedup", o.pop("bloom_prior_dedup"), ["doc_id"],
          ["maybe_dup", "is_dup"], {"maybe_dup", "is_dup"}),
+        ("hll_distinct_words", o.pop("hll_distinct_words"), ["source"],
+         ["true_distinct", "est_hll", "occupied"], set()),
+    ])
+    # (lm_suite folds below, after lm_perplexity/ppl_tail_split are built)
+    o["decontam_suite"] = _osuite_sql([
+        ("decontaminate_eval", o.pop("decontaminate_eval"),
+         ["doc_id", "first_hit"],
+         ["is_contaminated", "n_hit_shingles"], {"is_contaminated"}),
+        ("decontaminate_fuzzy", o.pop("decontaminate_fuzzy"), ["doc_id"],
+         ["is_fuzzy_contaminated", "best_jacc", "matched_eval_id"],
+         {"is_fuzzy_contaminated"}),
     ])
     o["pack_suite"] = _osuite_sql([
         ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],
@@ -3087,6 +3217,34 @@ def oracle_sql() -> dict[str, str]:
         FROM lp GROUP BY doc_id ORDER BY doc_id
     """
 
+    # ppl_tail_split: the histogram-quantile replay over the scored docs
+    # — integer cell/cumsum/DIV math, bit-exact vs the Spark dim plan
+    o["ppl_tail_split"] = f"""
+        WITH scored AS MATERIALIZED (
+        {o["lm_perplexity"]}
+        ),
+        sc AS (
+          SELECT s.doc_id, d.lang, CAST(floor(s.ppl / 1.0) AS BIGINT) AS cell
+          FROM scored s JOIN documents d USING (doc_id)
+        ),
+        hist AS (SELECT lang, cell, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+        cum AS (
+          SELECT lang, cell, n,
+            SUM(n) OVER (PARTITION BY lang ORDER BY cell
+                         ROWS UNBOUNDED PRECEDING) AS c,
+            SUM(n) OVER (PARTITION BY lang) AS tot
+          FROM hist
+        ),
+        bk AS (
+          SELECT lang, cell,
+            1 + CAST(((c - n) * 3) // tot AS INTEGER) AS bucket
+          FROM cum
+        )
+        SELECT sc.doc_id, sc.lang, sc.cell AS ppl_cell, bk.bucket
+        FROM sc JOIN bk USING (lang, cell)
+        ORDER BY doc_id
+    """
+
     # bpe_segment: the Catalyst merge fold replayed as chained
     # non-overlapping string replaces over per-symbol-delimited strings
     # (chr(1)||sym||chr(2)) — each symbol carries its own boundaries, so
@@ -3139,6 +3297,12 @@ def oracle_sql() -> dict[str, str]:
           md5(array_to_string(all_toks, ' ')) AS pieces_md5
         FROM agg ORDER BY doc_id
     """
+    o["lm_suite"] = _osuite_sql([
+        ("lm_perplexity", o.pop("lm_perplexity"), ["doc_id"],
+         ["n_bigrams", "avg_log2p", "ppl"], set()),
+        ("ppl_tail_split", o.pop("ppl_tail_split"), ["doc_id", "lang"],
+         ["ppl_cell", "bucket"], set()),
+    ])
     return o
 
 
@@ -3344,6 +3508,61 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(F.col("doc_id") % 97 != 0)
     ev = d.where(F.col("doc_id") % 97 == 0)
     return contamination_flags(train, ev, n=3).orderBy("doc_id")
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination (operators/
+    decontaminate.py::fuzzy_contamination_flags): eval = every 10th doc
+    (the fixture's near-dup families cross that split — 6 verified
+    train↔eval pairs at sf0.01), train = the rest. The eval set's LSH
+    band table is BROADCAST, the train side pays one signing pass and
+    zero shuffle against the eval side, and only band-collision
+    candidates reach the candidate-restricted Jaccard (≥0.5) verify —
+    the exact-overlap stage's fuzzy complement for paraphrased or
+    truncated eval leakage. Clean docs report sentinel -1 values so
+    every metric stays numeric for the suite fold."""
+    from txtlogparser_spark.operators.decontaminate import (
+        fuzzy_contamination_flags,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    return (
+        fuzzy_contamination_flags(train, ev, n=3, threshold=0.5)
+        .select(
+            "doc_id",
+            "is_fuzzy_contaminated",
+            F.coalesce("best_jacc", F.lit(-1.0)).alias("best_jacc"),
+            F.coalesce("matched_eval_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_eval_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated decontamination suite (same 50-slot rationale as
+    q_relational_suite): exact n-gram-overlap flags + fuzzy MinHash
+    near-dup flags as one long-format query with full value parity.
+    The exact stage's string witness (first_hit) rides in the grp key
+    like quality_suite's langid prediction."""
+    subs = [
+        _suite_unpivot(
+            "decontaminate_eval",
+            q_decontaminate_eval(spark, sf_dir),
+            ["doc_id", "first_hit"],
+            ["is_contaminated", "n_hit_shingles"],
+        ),
+        _suite_unpivot(
+            "decontaminate_fuzzy",
+            q_decontaminate_fuzzy(spark, sf_dir),
+            ["doc_id"],
+            ["is_fuzzy_contaminated", "best_jacc", "matched_eval_id"],
+        ),
+    ]
+    return _suite_union(subs)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3733,13 +3952,52 @@ def q_bloom_prior_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counting (operators/sketches.py::hll_build/
+    hll_merge/hll_estimate): per-source distinct-word cardinality
+    estimated from 2^12-register sketches, plus the '__all__' row whose
+    sketch is the MERGE (per-register max) of the per-source sketches —
+    the composition a 100-TB pipeline actually runs (per-day/per-source
+    sketches folded into corpus totals without re-reading data). The
+    exact COUNT(DISTINCT) column is the fixture's ground truth the
+    estimates are verified against; at scale it is precisely the
+    shuffle the sketch exists to avoid (one row per distinct item vs
+    2^p register rows per task). The md5 register spec and the integer-
+    scaled exact estimator denominator replay bit-exactly in DuckDB."""
+    from txtlogparser_spark.operators.sketches import hll_build, hll_estimate
+
+    d = _docs_part(spark, sf_dir)
+    words = d.select("source", F.explode(F.split("text", " ")).alias("item"))
+    per_src = hll_build(words, "item", group_cols=["source"])
+    # fold the grouped sketches into the global one: merge == re-max
+    merged = per_src.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(per_src, group_cols=["source"], out="est_hll").unionByName(
+        hll_estimate(merged, out="est_hll").withColumn("source", F.lit("__all__"))
+    )
+    tru = (
+        words.groupBy("source")
+        .agg(F.count_distinct("item").cast("long").alias("true_distinct"))
+        .unionByName(
+            words.agg(
+                F.count_distinct("item").cast("long").alias("true_distinct")
+            ).withColumn("source", F.lit("__all__"))
+        )
+    )
+    return (
+        tru.join(est, "source")
+        .select("source", "true_distinct", "est_hll", "occupied")
+        .orderBy("source")
+    )
+
+
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated mergeable-sketch suite (fourth fold, same 50-slot
     rationale as q_relational_suite): heavy_hitters_cms +
-    bloom_prior_dedup as one long-format query with full value parity —
-    the CM-sketch estimates and every per-doc Bloom decision land in
-    hashed (section, grp, metric, val) rows; the DuckDB oracle replays
-    both original SQLs verbatim via _osuite_sql."""
+    bloom_prior_dedup + hll_distinct_words as one long-format query with
+    full value parity — the CM-sketch estimates, every per-doc Bloom
+    decision, and the HLL register counts/estimates land in hashed
+    (section, grp, metric, val) rows; the DuckDB oracle replays the
+    original SQLs verbatim via _osuite_sql."""
     subs = [
         _suite_unpivot(
             "heavy_hitters_cms",
@@ -3752,6 +4010,12 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_bloom_prior_dedup(spark, sf_dir),
             ["doc_id"],
             ["maybe_dup", "is_dup"],
+        ),
+        _suite_unpivot(
+            "hll_distinct_words",
+            q_hll_distinct_words(spark, sf_dir),
+            ["source"],
+            ["true_distinct", "est_hll", "occupied"],
         ),
     ]
     return _suite_union(subs)
@@ -4222,6 +4486,55 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, ctx, vocab = _LM_MODEL_CACHE[key]
     out = lm_score(d, big, ctx, vocab).orderBy("doc_id")
     return out
+
+
+def q_ppl_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail stratification (operators/
+    sampling.py::quantile_buckets): every doc's bigram-LM perplexity is
+    quantized to an integer grid and split into per-LANGUAGE thirds —
+    bucket 1 = lowest-perplexity head, 3 = tail. The quantiles come
+    from a per-(lang, cell) HISTOGRAM dim (map-side combined groupBy +
+    a window over the tiny dim + one broadcast join back) — never a
+    per-language sort of the fact table, so a hot language costs no
+    single-task funnel (the quota_sample lesson applied to quantiles).
+    Integer cell/cumsum/DIV math end-to-end -> bit-exact DuckDB
+    replay."""
+    from txtlogparser_spark.operators.sampling import quantile_buckets
+
+    scored = q_lm_perplexity(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    withlang = scored.select("doc_id", "ppl").join(d, "doc_id")
+    out = quantile_buckets(
+        withlang, "ppl", n_buckets=3, group_col="lang", grid=1.0
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("ppl") / F.lit(1.0)).cast("long").alias("ppl_cell"),
+        F.col("bucket").cast("int").alias("bucket"),
+    ).orderBy("doc_id")
+
+
+def q_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated LM-quality suite (same 50-slot rationale as
+    q_relational_suite): per-doc bigram-LM perplexity scores + the
+    CCNet per-language head/middle/tail split they feed, as one
+    long-format query with full value parity."""
+    subs = [
+        _suite_unpivot(
+            "lm_perplexity",
+            q_lm_perplexity(spark, sf_dir),
+            ["doc_id"],
+            ["n_bigrams", "avg_log2p", "ppl"],
+        ),
+        _suite_unpivot(
+            "ppl_tail_split",
+            q_ppl_tail_split(spark, sf_dir),
+            ["doc_id", "lang"],
+            ["ppl_cell", "bucket"],
+        ),
+    ]
+    return _suite_union(subs)
 
 
 # sf0.01-trained head of the merge list (operators/bpe.py::bpe_train,

@@ -232,3 +232,37 @@ def test_stream_bloom_probe_matches_batch(spark, doc_dir, tmp_path):
         map(tuple, spark.sql("select * from bloom_stream").collect())
     )
     assert got == batch
+
+
+def test_stream_hll_matches_batch(spark, doc_dir):
+    """Streaming distinct-count sketching: hll_build is one groupBy-max,
+    which Structured Streaming runs natively in complete/update mode —
+    the per-micro-batch register table converges to the batch sketch
+    because max() is order- and batching-insensitive (the sketch
+    property that makes HLL mergeable is exactly what makes it
+    streamable). availableNow over the same files must equal the batch
+    registers bit-exactly."""
+    from txtlogparser_spark.operators.sketches import hll_build
+
+    docs = spark.read.parquet(doc_dir)
+    words = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    batch = sorted(map(tuple, hll_build(words, "item").collect()))
+
+    stream_words = (
+        spark.readStream.schema(docs.schema)
+        .parquet(doc_dir)
+        .select(F.explode(F.split("text", " ")).alias("item"))
+    )
+    q = (
+        hll_build(stream_words, "item")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select bucket, rho from hll_stream").collect())
+    )
+    assert got == batch

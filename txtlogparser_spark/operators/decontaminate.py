@@ -104,3 +104,132 @@ def decontaminate(
         .distinct()
     )
     return train_df.join(dirty, key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (near-duplicate) decontamination.
+#
+# Exact n-gram overlap (above) misses eval text that was paraphrased,
+# truncated, or lightly reworded into the training corpus; the standard
+# second line of defense (Gopher/MassiveText, most open pipelines) is
+# MinHash-Jaccard NEAR-duplicate matching between train docs and the
+# eval set. Built entirely from the already-verified dedup primitives
+# (shingle → minhash → band → candidate-restricted Jaccard), pointed
+# across two tables instead of within one.
+#
+# Scale shape (100 TB train side, benchmark-sized eval side): the eval
+# set's LSH band table is tiny (|eval| × nbands rows) and is BROADCAST
+# into the candidate join, so the train side pays one signing pass
+# (map-side explode + per-doc groupBy — the minimum any minhash scheme
+# costs) and ZERO shuffle against the eval side; only the candidate
+# pairs (≈ true near-dups + band collisions) reach the exact Jaccard
+# verify, which is O(candidates) by the same candidate-restricted plan
+# as the batch dedup chain. Never all-pairs, never an eval-side shuffle.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-duplicate (train_id, eval_id, jacc) pairs with
+    shingle-Jaccard ≥ threshold. Keys are tag-prefixed internally
+    ('t:'/'e:') so the two tables may share id values; outputs carry the
+    ORIGINAL key values (as strings — cast back if needed)."""
+    from txtlogparser_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        probe_lsh_index,
+        shingle_table,
+    )
+
+    t = train_df.select(
+        F.concat(F.lit("t:"), F.col(key).cast("string")).alias("_k"),
+        F.col(text_col).alias("_txt"),
+    )
+    e = eval_df.select(
+        F.concat(F.lit("e:"), F.col(key).cast("string")).alias("_k"),
+        F.col(text_col).alias("_txt"),
+    )
+    idx = band_table(
+        minhash_signatures(shingle_table(e, "_k", "_txt", n), "_k", num_hashes),
+        "_k",
+        num_hashes,
+        band_size,
+    )
+    cands = probe_lsh_index(
+        F.broadcast(idx), t, "_k", "_txt", num_hashes, band_size
+    ).select(F.col("new_id").alias("doc_a"), F.col("index_id").alias("doc_b"))
+    verified = ngram_jaccard_pairs(
+        t.unionByName(e), "_k", "_txt", n, threshold, candidates=cands
+    )
+    return verified.select(
+        F.substring("doc_a", 3, 2**30).alias("train_id"),
+        F.substring("doc_b", 3, 2**30).alias("eval_id"),
+        "jacc",
+    )
+
+
+def fuzzy_contamination_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-train-doc audit: is_fuzzy_contaminated, the best Jaccard to
+    any eval doc (NULL when clean), and the smallest matching eval id
+    (deterministic witness). Same columns-of-record contract as
+    contamination_flags."""
+    pairs = fuzzy_contamination_pairs(
+        train_df, eval_df, key, text_col, n, num_hashes, band_size, threshold
+    )
+    kt = train_df.schema[key].dataType
+    hits = (
+        pairs.groupBy(F.col("train_id").cast(kt).alias(key))
+        .agg(
+            F.max("jacc").alias("best_jacc"),
+            F.min(F.col("eval_id").cast(kt)).alias("matched_eval_id"),
+        )
+    )
+    return (
+        train_df.select(key)
+        .join(hits, key, "left")
+        .select(
+            key,
+            F.col("best_jacc").isNotNull().alias("is_fuzzy_contaminated"),
+            "best_jacc",
+            "matched_eval_id",
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Training set with fuzzy-contaminated docs REMOVED — the pipeline
+    stage (fuzzy_contamination_flags is the audit report). The dirty-id
+    set is ≤ |verified pairs| rows → broadcast left-anti."""
+    pairs = fuzzy_contamination_pairs(
+        train_df, eval_df, key, text_col, n, num_hashes, band_size, threshold
+    )
+    kt = train_df.schema[key].dataType
+    dirty = pairs.select(F.col("train_id").cast(kt).alias(key)).distinct()
+    return train_df.join(F.broadcast(dirty), key, "left_anti")

@@ -368,3 +368,75 @@ def train_eval_split(
     return df.withColumn(
         "is_eval", hash_bucket_hex(F.col(key), salt) < F.lit(thr)
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    grid: float = 0.01,
+    out: str = "bucket",
+) -> DataFrame:
+    """Append `out`: the row's quantile bucket (1..n_buckets, 1 = lowest
+    scores) within its group — the CCNet-style head/middle/tail split
+    (per-language perplexity thirds) that stratifies a corpus by a
+    quality score before sampling each stratum at its own rate.
+
+    Scale shape: the naive spelling — percent_rank() OVER (PARTITION BY
+    lang ORDER BY score) — funnels every row of a hot language through
+    ONE task (the same trap quota_sample's window had). Instead the
+    score is quantized to an integer grid (floor(score/grid) — ties on
+    a grid cell never split across buckets, which also makes the split
+    deterministic and partition-invariant) and the quantiles come from
+    a per-(group, cell) HISTOGRAM: one map-side-combined groupBy into a
+    dim of |groups|x|occupied cells| rows, a window over that tiny dim,
+    and a broadcast join back. The fact table is touched by exactly one
+    extra map-side join — no per-group sort, no hot-group task.
+
+    Bucket rule (ntile-by-first-rank): every row of a cell takes the
+    bucket of the cell's FIRST row in score order — bucket = 1 +
+    floor(prev_cum * n / total) where prev_cum counts rows in strictly
+    lower cells. Buckets are as equal as the grid allows: a cell holding
+    many tied scores lands whole in one bucket (exactly what CCNet's
+    per-language thirds do with ties). Integer/floor math end-to-end ->
+    bit-exact DuckDB replay."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if grid <= 0:
+        raise ValueError(f"grid must be > 0, got {grid}")
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    cell = F.floor(F.col(score_col) / F.lit(grid)).cast("long").alias("_qcell")
+    hist = df.select(*keys, cell).groupBy(*keys, "_qcell").agg(
+        F.count(F.lit(1)).alias("_qn")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_qcell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *keys,
+        "_qcell",
+        "_qn",
+        F.sum("_qn").over(w).alias("_qcum"),
+        F.sum("_qn").over(Window.partitionBy(*keys)).alias("_qtot"),
+    )
+    # integer DIV, not float floor(/): a ratio landing a hair under an
+    # integer can round UP in double and flip the bucket at a boundary
+    buckets = cum.select(
+        *keys,
+        "_qcell",
+        (
+            F.lit(1)
+            + F.expr(f"(_qcum - _qn) * {int(n_buckets)} DIV _qtot").cast("int")
+        ).alias(out),
+    )
+    join_keys = [*keys, "_qcell"]
+    return (
+        df.withColumn("_qcell", F.floor(F.col(score_col) / F.lit(grid)).cast("long"))
+        .join(F.broadcast(buckets), join_keys)
+        .drop("_qcell")
+    )

@@ -226,3 +226,130 @@ def bloom_probe(
     for h in hits[1:]:
         cond = cond & h
     return res.withColumn(out, cond).drop(*tmp)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count sketch.
+#
+# The cardinality counterpart of the CM (frequency) and Bloom (membership)
+# sketches above — "how many distinct tokens/URLs/fingerprints does this
+# corpus/day/source hold?" at 100 TB. Exact COUNT(DISTINCT) shuffles one
+# row per distinct item (billions at web scale); the HLL sketch bounds the
+# exchange at 2^p register rows per task regardless of item count or skew
+# (a hot item just re-maxes one register), and sketches from any number of
+# partitions/days/corpora merge by per-register max (Flajolet et al. 2007,
+# the same estimator behind Spark's approx_count_distinct — reimplemented
+# here because the built-in's binary sketch is neither inspectable nor
+# engine-portable, so the driver could never value-verify it).
+#
+# Determinism & portability: register addressing is the repo's standard
+# md5-hex trick — bucket = first p/4 hex chars of md5(seed:item), rho =
+# leading-zero count + 1 of the NEXT 52 bits (13 hex chars), computed
+# JVM-side as 53 - length(bin(v)) (bin() renders without leading zeros in
+# both engines; v = 0 → rho = 53). The estimator denominator sum(2^-rho)
+# is kept EXACT by integer-scaling each term to 2^(53-rho) (a long ≤
+# 2^52) summed as decimal — float summation would be partition-order
+# nondeterministic and could not hash-match the oracle. The final
+# estimate is one double division + the standard small-range linear
+# counting correction, rounded to 4 decimals on both engines.
+#
+# Scale shape: build = one map-side pass -> groupBy(bucket) max with
+# partial aggregation (shuffle <= 2^p rows per task); merge = union +
+# re-max; estimate = a scalar aggregate over <= 2^p rows.
+# ---------------------------------------------------------------------------
+
+_HLL_W_HEX = 13  # 52-bit rho domain → rho ∈ [1, 53]
+
+
+def _hll_registers(item: Column, p_bits: int, seed: str):
+    """(bucket, rho) columns for one item. p_bits must be a multiple of
+    4 so the bucket is a clean hex-prefix slice (engine-portable)."""
+    if p_bits % 4 != 0 or not 4 <= p_bits <= 16:
+        raise ValueError(f"p_bits must be a multiple of 4 in [4,16], got {p_bits}")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), item.cast("string")))
+    bh = p_bits // 4
+    bucket = F.conv(F.substring(h, 1, bh), 16, 10).cast("int")
+    v = F.conv(F.substring(h, bh + 1, _HLL_W_HEX), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(v)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame,
+    item_col: str = "item",
+    p_bits: int = 12,
+    seed: str = "hll-v1",
+    group_cols: list | None = None,
+) -> DataFrame:
+    """HLL sketch of the items: (bucket:int, rho:int) register rows, one
+    per NON-EMPTY register (absent register = 0). With `group_cols`, one
+    independent sketch per group (the group keys prepend the schema) —
+    the per-source / per-day form whose sketches later merge into the
+    corpus total. Standard error ≈ 1.04/sqrt(2^p): p=12 → ~1.6%."""
+    bucket, rho = _hll_registers(F.col(item_col), p_bits, seed)
+    keys = list(group_cols or [])
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list | None = None) -> DataFrame:
+    """Merge two sketches built with identical (p_bits, seed): union +
+    per-register max. Lossless — merge(build(A), build(B)) is
+    bit-identical to build(A ∪ B)."""
+    keys = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    p_bits: int = 12,
+    group_cols: list | None = None,
+    out: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-count estimate from a sketch: one row (or one per group)
+    with `out` (double, rounded to 4 decimals) and `occupied` (long,
+    non-zero registers — the sketch's own size/diagnostic).
+
+    Estimator: E_raw = α_m·m²/Σ 2^-M_j with empty registers contributing
+    2^0; linear counting m·ln(m/V) when E_raw ≤ 2.5m and V > 0 empty
+    registers remain (the Flajolet small-range regime). The Σ is exact:
+    terms integer-scaled by 2^53 (long ≤ 2^52 each) and summed as
+    decimal, so the only float ops are one division (+ one ln on the
+    small-range branch) — identical IEEE doubles in Spark and DuckDB."""
+    m = 1 << p_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(1 << 53)  # one python double literal
+    keys = list(group_cols or [])
+    # shiftleft with a COLUMN shift amount needs the SQL form (the
+    # Python wrapper only takes an int literal)
+    term = F.expr("shiftleft(1L, 53 - rho)").cast("decimal(20,0)")
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        # empty sketch (keyless agg over zero rows): sum is NULL → 0
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(30,0)")).alias("_s"),
+    )
+    vz = (F.lit(m) - F.col("occupied")).cast("long")
+    denom = (
+        vz.cast("decimal(10,0)")
+        * F.lit(1 << 53).cast("decimal(20,0)")
+        + F.col("_s")
+    ).cast("double")
+    raw = F.lit(num) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (vz > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / vz.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys, F.round(est, 4).alias(out), F.col("occupied")
+    )
