@@ -764,3 +764,111 @@ def paragraph_dedup(
     if not keep_empty_docs:
         out = out.where(F.col("n_kept") > 0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-array-native n-gram dedup (MassiveText/Gopher-style exact gram
+# overlap, over tokens:array<int> instead of text).
+#
+# The north-star input is PRE-TOKENIZED sequences — by the time data
+# reaches this engine the text may be gone, so the gram machinery must
+# work on the token ids themselves. A doc's n-grams are md5 digests of
+# the comma-joined id slice; each gram's KEEPER is the smallest doc_id
+# that carries it (one map-side-combined groupBy — a gram with 10^9
+# copies ships one row per map partition, the paragraph_dedup lesson);
+# a doc whose grams mostly belong to earlier docs is a duplicate.
+#
+# Scale shape: the only shuffles are gram-keyed — (digest, doc_id)
+# pairs, never token arrays — and the per-doc fold is a groupBy on
+# doc_id. Dup-fraction thresholding instead of any-gram matching keeps
+# the operator robust to boilerplate grams shared corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(tokens: Column, n: int) -> Column:
+    """md5 digests of a token array's n-grams (order-preserving,
+    comma-joined ids). Docs shorter than n grams to an empty array —
+    spelled as an explicit WHEN because ANSI sequence(0, -1) DESCENDS
+    instead of returning empty (the lm.py trap)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - F.lit(n)),
+        lambda i: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(tokens, i + F.lit(1), F.lit(n)),
+                    lambda t: t.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+    return F.when(F.size(tokens) >= F.lit(n), grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_ngram_dup_stats(
+    df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-doc token-gram duplication report: distinct-gram count, how
+    many of those grams FIRST appeared in an earlier doc (keeper =
+    min doc_id over the corpus), the duplicate fraction (round(6) — the
+    value compared against `threshold` and by oracles), and the
+    is_dup verdict. Docs with no gram (shorter than n tokens) report
+    0/0/0.0/false — too short to claim duplication either way."""
+    grams = df.select(
+        F.col(key).alias("_tk"),
+        F.explode(F.array_distinct(token_ngrams(F.col(tokens_col), n))).alias("_g"),
+    )
+    keepers = grams.groupBy("_g").agg(F.min("_tk").alias("_keeper"))
+    per_doc = (
+        grams.join(keepers, "_g")
+        .groupBy("_tk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_keeper") < F.col("_tk")).cast("long")).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    out = (
+        df.select(F.col(key).alias("_tk"))
+        .join(per_doc, "_tk", "left")
+        .select(
+            F.col("_tk").alias(key),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        key,
+        "n_grams",
+        "n_dup_grams",
+        frac.alias("dup_frac"),
+        (frac >= F.lit(threshold)).alias("is_dup"),
+    )
+
+
+def token_ngram_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The pipeline stage: rows whose dup_frac stays below threshold
+    (first occurrences keep themselves — a doc never duplicates
+    against a LATER doc). The verdict table is ≤ one row per doc and
+    joins back broadcast-or-key without touching token arrays."""
+    verdict = token_ngram_dup_stats(df, key, tokens_col, n, threshold)
+    return df.join(
+        verdict.where(~F.col("is_dup")).select(key), key, "left_semi"
+    )

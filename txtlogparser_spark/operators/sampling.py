@@ -440,3 +440,71 @@ def quantile_buckets(
         .join(F.broadcast(buckets), join_keys)
         .drop("_qcell")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    key: str = "doc_id",
+    part_col: str = "source",
+    weight_col: str | None = None,
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-based source mixing (the mT5/XLM-R multilingual
+    recipe): each group's share of the output is proportional to
+    n_g^alpha — alpha=1 preserves the natural distribution, alpha=0
+    flattens to uniform, alpha~0.3-0.7 up-samples small sources without
+    letting the head source drown them. Rows are selected by the same
+    md5-hex content hash as hash_sample, so the chosen SET is
+    deterministic and partition-invariant; the appended t_rate column
+    records each group's effective keep-rate.
+
+    rate_g = min(1, target_rows * n_g^alpha / sum_h(n_h^alpha) / n_g)
+
+    (n = row count, or sum(weight_col) when given — the token-weighted
+    form). target_rows defaults to the input count (pure re-weighting:
+    expected output size == input size, mass shifted toward the tail).
+    Rates above 1 clip — temperature mixing UP-samples by repetition in
+    a trainer's sampler, not by duplicating rows in the corpus.
+
+    Scale shape: map-only on the fact table. The per-group mass is one
+    map-side-combined groupBy into a K-row dim; the normalizer is a
+    1-row scalar agg over that dim; both join back broadcast. The
+    selection threshold is computed IN-PLAN as the same 9-hex-char
+    string hash_sample precomputes driver-side — floor() before the
+    bigint cast keeps Spark (truncating) and DuckDB (rounding) casts
+    identical, so the selected set replays bit-exactly."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    cnt = df.groupBy(part_col).agg(mass.cast("double").alias("_n"))
+    if target_rows is None:
+        tgt = cnt.agg(F.sum("_n").alias("_t"))
+    else:
+        tgt = cnt.sparkSession.range(1).select(
+            F.lit(float(target_rows)).alias("_t")
+        )
+    z = cnt.agg(F.sum(F.pow("_n", F.lit(float(alpha)))).alias("_z"))
+    rates = (
+        cnt.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            part_col,
+            F.least(
+                F.lit(1.0),
+                F.col("_t") * F.pow("_n", F.lit(float(alpha))) / F.col("_z") / F.col("_n"),
+            ).alias("t_rate"),
+        )
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("t_rate") * F.lit(float(_U32))).cast("bigint")),
+            9,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), part_col)
+        .where(hash_bucket_hex(F.col(key), salt) < thr)
+    )
