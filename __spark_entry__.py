@@ -1099,7 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_session_range_join": q_events_session_range_join,
         "decontam_suite": q_decontam_suite,
-        "source_mix_sample": q_source_mix_sample,
+        # mix_suite folds source_mix_sample + quota_sample +
+        # token_budget_mix + temperature_mix
+        "mix_suite": q_mix_suite,
         # pack_suite folds pack_chunks + pack_greedy + pack_assemble
         # (epoch_pack_assemble stays standalone as the composition)
         "pack_suite": q_pack_suite,
@@ -1108,7 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "sketch_suite": q_sketch_suite,
         "shard_plan": q_shard_plan,
-        "quota_sample": q_quota_sample,
+        "c4_line_filter": q_c4_line_filter,
         "epoch_shuffle": q_epoch_shuffle,
         "data_quality_checks": q_data_quality_checks,
         "dedup_semantic_ivf": q_dedup_semantic_ivf,
@@ -1122,7 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_extract": q_grok_extract,
         "redact_pii": q_redact_pii,
         "gopher_quality_flags": q_gopher_quality_flags,
-        "token_budget_mix": q_token_budget_mix,
+        "token_ngram_dedup": q_token_ngram_dedup,
         "lm_suite": q_lm_suite,
         "bpe_segment": q_bpe_segment,
     }
@@ -2081,6 +2083,124 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) AS BIGINT) AS n_sampled,
               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM kept GROUP BY source, mix_rate ORDER BY source
+        """,
+        # temperature_mix: sqrt + the integer-quantized normalizer sum
+        # make every rate an identical IEEE double in both engines; the
+        # selection replays the in-plan 9-hex threshold (floor before
+        # the BIGINT cast — DuckDB's double→bigint cast ROUNDS)
+        "temperature_mix": """
+            WITH cnt AS (
+              SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM documents GROUP BY 1
+            ),
+            z AS (
+              SELECT SUM(CAST(floor(sqrt(n) * 1073741824.0) AS BIGINT))
+                       / 1073741824.0 AS z,
+                     CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS t
+              FROM cnt
+            ),
+            rates AS (
+              SELECT source, least(1.0, t * sqrt(n) / z / n) AS t_rate
+              FROM cnt CROSS JOIN z
+            ),
+            kept AS (
+              SELECT d.doc_id, d.source, r.t_rate
+              FROM documents d JOIN rates r USING (source)
+              WHERE '0' || substr(md5('tmix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    < lpad(lower(hex(CAST(floor(r.t_rate * 4294967296.0) AS BIGINT))), 9, '0')
+            )
+            SELECT source, t_rate,
+              CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM kept GROUP BY source, t_rate ORDER BY source
+        """,
+        # c4_line_filter: the synthesized-page CTEs mirror _synth_pages'
+        # integer/slice arithmetic; the cleaning CTE mirrors
+        # operators/c4.py rule for rule (RE2-compatible predicates)
+        "c4_line_filter": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words,
+                CAST((len(string_split(text, ' ')) + 5) // 6 AS INT) AS nl
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, nl), i ->
+                  CASE WHEN (doc_id + i) % 11 = 0
+                         THEN 'this site uses cookies to improve your experience.'
+                       WHEN (doc_id + i) % 7 = 0
+                         THEN array_to_string(words[i*6+1 : i*6+6], ' ') || ' javascript required.'
+                       WHEN (doc_id + i) % 3 = 0
+                         THEN array_to_string(words[i*6+1 : i*6+6], ' ')
+                       ELSE array_to_string(words[i*6+1 : i*6+6], ' ') || '.'
+                  END), chr(10)) AS p0
+              FROM w
+            ),
+            pages AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 31 = 0 THEN p0 || chr(10) || '{ config done.'
+                     WHEN doc_id % 37 = 0 THEN p0 || chr(10) || 'lorem ipsum dolor sit amet today.'
+                     ELSE p0 END AS text
+              FROM pg
+            ),
+            s AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines,
+                list_filter(string_split(text, chr(10)), l ->
+                  regexp_matches(l, '[.!?"]$')
+                  AND len(list_filter(string_split(trim(l), ' '), x -> x != '')) >= 5
+                  AND NOT contains(lower(l), 'javascript')
+                  AND NOT regexp_matches(lower(l),
+                      'terms of use|privacy policy|cookie policy|uses cookies')
+                ) AS kept,
+                (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
+                  AS page_flagged
+              FROM pages
+            ),
+            fin AS (
+              SELECT doc_id, lines, kept, page_flagged,
+                (NOT page_flagged AND len(kept) >= 3) AS page_kept
+              FROM s
+            )
+            SELECT doc_id,
+              CAST(len(lines) AS INT) AS n_lines,
+              CAST(len(kept) AS INT) AS n_kept,
+              page_flagged, page_kept,
+              md5(CASE WHEN page_kept THEN array_to_string(kept, chr(10)) ELSE '' END)
+                AS clean_md5,
+              CAST(length(CASE WHEN page_kept THEN array_to_string(kept, chr(10)) ELSE '' END) AS INT)
+                AS clean_len
+            FROM fin ORDER BY doc_id
+        """,
+        # token_ngram_dedup: identical md5-derived 28-bit vocab hash,
+        # gram digests of comma-joined id slices, keeper = MIN(doc_id)
+        "token_ngram_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)) AS tokens
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                md5(array_to_string(tokens[i+1 : i+8], ',')) AS gram
+              FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS t(i)
+            ),
+            keep AS (SELECT gram, MIN(doc_id) AS keeper FROM g GROUP BY 1),
+            per AS (
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                SUM(CASE WHEN k.keeper < g.doc_id THEN 1 ELSE 0 END) AS n_dup
+              FROM g JOIN keep k USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+              CASE WHEN COALESCE(per.n_grams, 0) > 0
+                   THEN ROUND(per.n_dup * 1.0 / per.n_grams, 6) ELSE 0.0 END
+                AS dup_frac,
+              CASE WHEN COALESCE(per.n_grams, 0) > 0
+                   THEN ROUND(per.n_dup * 1.0 / per.n_grams, 6) >= 0.5
+                   ELSE FALSE END AS is_dup
+            FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id
         """,
         "pack_chunks": """
             WITH d AS (
@@ -3303,6 +3423,16 @@ def oracle_sql() -> dict[str, str]:
         ("ppl_tail_split", o.pop("ppl_tail_split"), ["doc_id", "lang"],
          ["ppl_cell", "bucket"], set()),
     ])
+    o["mix_suite"] = _osuite_sql([
+        ("source_mix_sample", o.pop("source_mix_sample"), ["source"],
+         ["mix_rate", "n_sampled", "sum_ids"], set()),
+        ("quota_sample", o.pop("quota_sample"), ["source"],
+         ["n_sampled", "sum_ids", "min_id", "max_id"], set()),
+        ("token_budget_mix", o.pop("token_budget_mix"),
+         ["source", "doc_id"], ["n_tok"], set()),
+        ("temperature_mix", o.pop("temperature_mix"), ["source"],
+         ["t_rate", "n_sampled", "sum_ids"], set()),
+    ])
     return o
 
 
@@ -4456,6 +4586,164 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = sorted(r[0] for r in d.select("source").distinct().collect())
     budgets = {s: ((int(s[3:]) % 3) + 1) * 300 for s in srcs}
     return token_budget_mix(d, budgets).orderBy("source", "doc_id")
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (operators/sampling.py::
+    temperature_mix — the mT5/XLM-R alpha=0.5 recipe): each source's
+    output share is proportional to sqrt(n_source), up-sampling tail
+    sources without letting the head drown them; target = the natural
+    total (pure re-weighting). Selection is the md5-hex content hash
+    with an IN-PLAN threshold; sqrt + the integer-quantized normalizer
+    make every rate (and so the selected SET) bit-replayable in DuckDB.
+    Map-only on the fact table: K-row mass dim + 1-row normalizer, both
+    broadcast back. Verified per source by rate + count + id-sum of the
+    selected set."""
+    from txtlogparser_spark.operators.sampling import temperature_mix
+
+    d = _docs_part(spark, sf_dir)
+    return (
+        temperature_mix(d, alpha=0.5)
+        .groupBy("source", "t_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated source-mixing suite (fifth fold, same 50-slot
+    rationale as q_relational_suite): rate-based mixing + fixed-quota
+    sampling + token-budget mixing + temperature mixing as one
+    long-format query with full value parity — every per-source digest
+    and every token_budget_mix selected row lands in hashed
+    (section, grp, metric, val) rows; the DuckDB oracle replays the
+    original per-query SQLs verbatim via _osuite_sql."""
+    subs = [
+        _suite_unpivot(
+            "source_mix_sample",
+            q_source_mix_sample(spark, sf_dir),
+            ["source"],
+            ["mix_rate", "n_sampled", "sum_ids"],
+        ),
+        _suite_unpivot(
+            "quota_sample",
+            q_quota_sample(spark, sf_dir),
+            ["source"],
+            ["n_sampled", "sum_ids", "min_id", "max_id"],
+        ),
+        _suite_unpivot(
+            "token_budget_mix",
+            q_token_budget_mix(spark, sf_dir),
+            ["source", "doc_id"],
+            ["n_tok"],
+        ),
+        _suite_unpivot(
+            "temperature_mix",
+            q_temperature_mix(spark, sf_dir),
+            ["source"],
+            ["t_rate", "n_sampled", "sum_ids"],
+        ),
+    ]
+    return _suite_union(subs)
+
+
+def _synth_pages(d: DataFrame) -> DataFrame:
+    """Deterministic multi-line 'web pages' from the flat fixture text
+    (documents.text has no newlines or punctuation — same gap-filling
+    move as grok_extract's synthesized access-log lines): 6-word lines;
+    every (doc_id+i)%3==0 line loses its terminal period, every %7==0
+    line gains a javascript mention, every %11==0 line becomes cookie
+    boilerplate (rule precedence: 11 > 7 > 3); every doc_id%31==0 page
+    gains a curly-brace line and %37==0 a lorem-ipsum line. Pure
+    integer/slice arithmetic → the identical page replays in DuckDB."""
+    words = F.split(F.col("text"), " ")
+    nl = (F.size(words) + F.lit(5)).cast("long") / F.lit(6)
+    nl = F.floor(nl).cast("int")
+
+    def _line(i):
+        base = F.array_join(F.slice(words, i * F.lit(6) + F.lit(1), F.lit(6)), " ")
+        sel = (F.col("doc_id") + i) % F.lit(11)
+        return (
+            F.when(
+                sel == F.lit(0),
+                F.lit("this site uses cookies to improve your experience."),
+            )
+            .when(
+                (F.col("doc_id") + i) % F.lit(7) == F.lit(0),
+                F.concat(base, F.lit(" javascript required.")),
+            )
+            .when((F.col("doc_id") + i) % F.lit(3) == F.lit(0), base)
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    page0 = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - F.lit(1)), _line), "\n"
+    )
+    page = (
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(page0, F.lit("\n{ config done."))
+        )
+        .when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(page0, F.lit("\nlorem ipsum dolor sit amet today.")),
+        )
+        .otherwise(page0)
+    )
+    return d.select("doc_id", page.alias("text"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/c4.py::c4_line_stats —
+    Raffel et al. 2020 §2.2): terminal-punctuation / min-words /
+    javascript / policy-boilerplate line rules plus curly-brace,
+    lorem-ipsum and min-surviving-lines page rules, over pages
+    synthesized deterministically from the flat fixture (_synth_pages —
+    every rule and their precedence is exercised by construction).
+    Pure Catalyst HOFs: map-only, zero shuffle, no Python. The cleaned
+    text itself is verified via md5 + length."""
+    from txtlogparser_spark.operators.c4 import c4_line_stats
+
+    pages = _synth_pages(_docs_part(spark, sf_dir))
+    return (
+        c4_line_stats(pages, min_words_per_line=5, min_lines=3)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "page_flagged",
+            "page_kept",
+            F.md5("cleaned_text").alias("clean_md5"),
+            F.length("cleaned_text").alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_token_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array-native exact-gram dedup (operators/dedup.py::
+    token_ngram_dup_stats — MassiveText-style, over tokens:array<int>
+    as the north-star's pre-tokenized input requires): token ids are a
+    md5-derived 28-bit vocab hash of each word (engine-portable), grams
+    are md5 digests of 8-id slices, each gram's keeper is min(doc_id)
+    via one PARTIAL aggregation (a boilerplate gram with 10^9 copies
+    ships one row per map partition — no window, plan-pinned in
+    tests), and a doc is a duplicate when ≥50% of its distinct grams
+    first appeared earlier. The fixture's near-dup families make both
+    verdicts non-trivial."""
+    from txtlogparser_spark.operators.dedup import token_ngram_dup_stats
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return token_ngram_dup_stats(toks, n=8, threshold=0.5).orderBy("doc_id")
 
 
 # bigram_lm_train persists its model table and training is eager (the

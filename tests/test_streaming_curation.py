@@ -266,3 +266,34 @@ def test_stream_hll_matches_batch(spark, doc_dir):
         map(tuple, spark.sql("select bucket, rho from hll_stream").collect())
     )
     assert got == batch
+
+
+def test_stream_c4_matches_batch(spark, tmp_path):
+    """C4 line cleaning is a stateless Catalyst select, so it runs
+    unchanged as the arrival-time scrub of a document stream —
+    availableNow over the same files must equal the batch stats row
+    for row (cleaned text included)."""
+    from txtlogparser_spark.operators.c4 import c4_line_stats
+
+    good = "the quick brown fox jumps over the dog."
+    rows = [
+        (i, "\n".join([good] * (2 + i % 4) + (["enable javascript now."] if i % 3 == 0 else [])))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "pages_in")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(2).write.parquet(src)
+
+    batch = sorted(map(tuple, c4_line_stats(spark.read.parquet(src)).collect()))
+    assert any(r[4] for r in batch) and not all(r[4] for r in batch)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        c4_line_stats(stream)
+        .writeStream.format("memory")
+        .queryName("c4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from c4_stream").collect()))
+    assert got == batch

@@ -24,7 +24,10 @@ SALT = "tmix-v1"
 
 
 def _py_rates(masses, alpha, target):
-    z = sum(m**alpha for m in masses.values())
+    # mirror the operator exactly: quantized-integer normalizer sum
+    z = sum(math.floor((m**alpha) * (1 << 30)) for m in masses.values()) / float(
+        1 << 30
+    )
     t = float(target if target is not None else sum(masses.values()))
     return {
         s: min(1.0, t * (m**alpha) / z / m) for s, m in masses.items()
@@ -145,10 +148,11 @@ class TestDuckDBParity:
                 f"""
             WITH cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
                          FROM t GROUP BY 1),
-            z AS (SELECT SUM(pow(n, 0.5)) AS z FROM cnt),
+            z AS (SELECT SUM(CAST(floor(sqrt(n) * 1073741824.0) AS BIGINT))
+                         / 1073741824.0 AS z FROM cnt),
             rates AS (
               SELECT source,
-                least(1.0, 250.0 * pow(n, 0.5) / z / n) AS t_rate
+                least(1.0, 250.0 * sqrt(n) / z / n) AS t_rate
               FROM cnt CROSS JOIN z
             )
             SELECT doc_id FROM t JOIN rates USING (source)

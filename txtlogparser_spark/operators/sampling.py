@@ -474,18 +474,47 @@ def temperature_mix(
     selection threshold is computed IN-PLAN as the same 9-hex-char
     string hash_sample precomputes driver-side — floor() before the
     bigint cast keeps Spark (truncating) and DuckDB (rounding) casts
-    identical, so the selected set replays bit-exactly."""
+    identical, so the selected set replays bit-exactly.
+
+    Determinism fine print: the normalizer Z = sum(n^alpha) is a FLOAT
+    sum, which is partition-order-nondeterministic in Spark and
+    engine-order-dependent in an oracle — so each term is quantized to
+    floor(n^alpha * 2^30) and summed as exact integers (the HLL
+    estimator's trick), making Z (hence every rate and the selected
+    set) a pure function of the data. alpha = 0.5 / 1 / 0 additionally
+    spell the power as sqrt / identity / 1 — correctly-rounded IEEE
+    ops identical in every engine, unlike libm pow (within-1-ulp only,
+    so other alphas are deterministic per engine but the oracle compare
+    carries a ~2^-22-per-group boundary-flip risk)."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     mass = F.sum(weight_col) if weight_col else F.count(F.lit(1))
     cnt = df.groupBy(part_col).agg(mass.cast("double").alias("_n"))
+
+    def _powa(c: Column) -> Column:
+        if alpha == 0.5:
+            return F.sqrt(c)
+        if alpha == 1.0:
+            return c
+        if alpha == 0.0:
+            return F.lit(1.0)
+        return F.pow(c, F.lit(float(alpha)))
+
+    _Q = float(1 << 30)
     if target_rows is None:
-        tgt = cnt.agg(F.sum("_n").alias("_t"))
+        tgt = cnt.agg(F.sum(F.col("_n").cast("long")).cast("double").alias("_t"))
     else:
         tgt = cnt.sparkSession.range(1).select(
             F.lit(float(target_rows)).alias("_t")
         )
-    z = cnt.agg(F.sum(F.pow("_n", F.lit(float(alpha)))).alias("_z"))
+    z = cnt.agg(
+        (
+            F.sum(F.floor(_powa(F.col("_n")) * F.lit(_Q)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(_Q)
+        ).alias("_z")
+    )
     rates = (
         cnt.crossJoin(F.broadcast(z))
         .crossJoin(F.broadcast(tgt))
@@ -493,7 +522,7 @@ def temperature_mix(
             part_col,
             F.least(
                 F.lit(1.0),
-                F.col("_t") * F.pow("_n", F.lit(float(alpha))) / F.col("_z") / F.col("_n"),
+                F.col("_t") * _powa(F.col("_n")) / F.col("_z") / F.col("_n"),
             ).alias("t_rate"),
         )
     )
