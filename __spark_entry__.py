@@ -999,6 +999,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["word"],
             ["n"],
         ),
+        _suite_unpivot(
+            "domain_stats",
+            q_domain_stats(spark, sf_dir),
+            ["domain"],
+            ["n_docs", "n_hosts", "sum_ids"],
+        ),
     ]
     return _suite_union(subs)
 
@@ -2927,6 +2933,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT word, CAST(COUNT(*) AS BIGINT) AS n
               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
               GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+            ),
+            urls AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'https://user:pw@' || host || ':8443/p/' || source
+                     ELSE 'https://' || host || '/p/' || source END AS url
+              FROM (SELECT doc_id, source,
+                      'h' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) ||
+                      CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN '.news.example.com'
+                           WHEN 1 THEN '.blog.sample.co.uk'
+                           WHEN 2 THEN '.example.com'
+                           ELSE '.data.org' END AS host
+                    FROM documents)
+            ),
+            ph AS (
+              SELECT doc_id,
+                lower(string_split(string_split(
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+                  '@')[-1], ':')[1]) AS host
+              FROM urls
+            ),
+            rd AS (
+              SELECT doc_id, host,
+                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     WHEN (string_split(host, '.')[-2] || '.' ||
+                           string_split(host, '.')[-1]) IN
+                       ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp',
+                        'or.jp','com.au','net.au','org.au','com.br','com.cn',
+                        'com.mx','co.in','co.kr','co.za')
+                       THEN string_split(host, '.')[-3] || '.' ||
+                            string_split(host, '.')[-2] || '.' ||
+                            string_split(host, '.')[-1]
+                     ELSE string_split(host, '.')[-2] || '.' ||
+                          string_split(host, '.')[-1]
+                END AS domain
+              FROM ph
+            ),
+            dom AS (
+              SELECT domain,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+              FROM rd GROUP BY 1
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -2949,7 +2999,38 @@ def oracle_sql() -> dict[str, str]:
                 'salt_factor', CAST(salt_factor AS DOUBLE) FROM skew
               UNION ALL SELECT 'vocab_top_words', CAST(word AS VARCHAR),
                 'n', CAST(n AS DOUBLE) FROM vocab
+              UNION ALL SELECT 'domain_stats', CAST(domain AS VARCHAR),
+                'n_docs', CAST(n_docs AS DOUBLE) FROM dom
+              UNION ALL SELECT 'domain_stats', CAST(domain AS VARCHAR),
+                'n_hosts', CAST(n_hosts AS DOUBLE) FROM dom
+              UNION ALL SELECT 'domain_stats', CAST(domain AS VARCHAR),
+                'sum_ids', CAST(sum_ids AS DOUBLE) FROM dom
             ) ORDER BY section, grp, metric
+        """,
+        # classifier_quality: exact-integer hashed-weight sum + one exp
+        "classifier_quality": """
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+                  AS words
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(words) AS n,
+                list_sum(list_transform(words, x ->
+                  CAST(('0x' || substr(md5('qcls-v1:' || x), 1, 6)) AS BIGINT)
+                    % 2001 - 1000)) AS total
+              FROM w
+            ),
+            sc AS (
+              SELECT doc_id,
+                1.0 / (1.0 + exp(-(CASE WHEN n > 0
+                                        THEN total / (1000.0 * n)
+                                        ELSE 0.0 END))) AS clf_score
+              FROM s
+            )
+            SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_score_keep
+            FROM sc ORDER BY doc_id
         """,
         # epoch_pack_assemble: global shuffled permutation, then the
         # concat-then-chunk replay running over EPOCH order
@@ -3014,6 +3095,8 @@ def oracle_sql() -> dict[str, str]:
          ["doc_id", "lang", "pred_lang"], ["present"], set()),
         ("lang_stats", o.pop("lang_stats"), ["lang"],
          ["doc_count", "total_chars", "total_words"], set()),
+        ("classifier_quality", o.pop("classifier_quality"), ["doc_id"],
+         ["clf_score", "clf_score_keep"], {"clf_score_keep"}),
     ])
     o["log_nav_suite"] = _osuite_sql([
         ("log_nav_next", o.pop("log_nav_next"), ["filter_id"],
@@ -4325,13 +4408,69 @@ def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier scoring (functions/
+    classifier.py — the GPT-3/CCNet quality-classifier stage): hashed
+    bag-of-words features, exact-integer weight sum, mean-pool +
+    sigmoid, map-only and zero-shuffle. The weights are the documented
+    deterministic stand-in (no model artifact in this environment —
+    the multimodal-codec move); the feature/scoring plumbing is what a
+    trained fastText model swaps into. Scores and keep-verdicts replay
+    in DuckDB (exp is the one libm op; verdict boundaries are
+    integer-exact)."""
+    from txtlogparser_spark.functions.classifier import classifier_quality
+
+    d = _docs_part(spark, sf_dir)
+    return (
+        classifier_quality(d, threshold=0.5)
+        .select("doc_id", "clf_score", "clf_score_keep")
+        .orderBy("doc_id")
+    )
+
+
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Deterministic per-doc URLs (documents carry no URL column —
+    the _synth_pages move): md5-char subdomain variety over four
+    registered domains including a two-level-suffix case, with every
+    7th URL carrying userinfo + port to exercise the stripping path."""
+    host = F.concat(
+        F.lit("h"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".news.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".blog.sample.co.uk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".example.com"))
+        .otherwise(F.lit(".data.org")),
+    )
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("https://user:pw@"), host, F.lit(":8443/p/"), F.col("source")),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("source")))
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl report (functions/url.py::
+    domain_stats — the artifact a URL-blocklist pass ranks from):
+    RE2-safe parse → eTLD+1 heuristic → one map-side-combined groupBy.
+    URLs synthesized deterministically (_synth_urls) so the userinfo/
+    port strip, the two-level-suffix case, and host variety are all
+    exercised; n_docs/n_hosts/sum_ids pin volume AND membership."""
+    from txtlogparser_spark.functions.url import domain_stats
+
+    return (
+        domain_stats(_synth_urls(_docs_part(spark, sf_dir)))
+        .orderBy("domain")
+    )
+
+
 def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated per-document quality/profiling suite (50-slot fold,
     same rationale as q_relational_suite): text_quality, quality_scores,
-    repetition_stats, token_count_regex, langid, lang_stats as one
-    long-format query with FULL value parity — string values (langid
-    prediction, fingerprints) ride in the grp key, numerics/booleans in
-    val. The six underlying q_ functions remain standalone."""
+    repetition_stats, token_count_regex, langid, lang_stats, and the
+    hashed-classifier scores as one long-format query with FULL value
+    parity — string values (langid prediction, fingerprints) ride in
+    the grp key, numerics/booleans in val. The underlying q_ functions
+    remain standalone."""
     lang_pred = q_langid(spark, sf_dir).withColumn("present", F.lit(1))
     subs = [
         _suite_unpivot(
@@ -4366,6 +4505,12 @@ def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_lang_stats(spark, sf_dir),
             ["lang"],
             ["doc_count", "total_chars", "total_words"],
+        ),
+        _suite_unpivot(
+            "classifier_quality",
+            q_classifier_quality(spark, sf_dir),
+            ["doc_id"],
+            ["clf_score", "clf_score_keep"],
         ),
     ]
     return _suite_union(subs)
