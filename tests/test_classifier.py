@@ -17,6 +17,7 @@ import pytest
 
 from txtlogparser_spark.functions.classifier import (
     classifier_quality,
+    classifier_quality_table,
     classifier_score,
 )
 
@@ -77,6 +78,52 @@ class TestScore:
         sa = sorted((r["doc_id"], r["clf_score"]) for r in classifier_quality(a).collect())
         sb = sorted((r["doc_id"], r["clf_score"]) for r in classifier_quality(b).collect())
         assert sa == sb
+
+
+def _hash_weight_q(word):
+    return int(hashlib.md5(f"{SALT}:{word}".encode()).hexdigest()[:6], 16) % 2001 - 1000
+
+
+class TestWeightTable:
+    """classifier_quality_table — the trained-model deployment path.
+    The swap-in guarantee: feeding it the hash_weight table over the
+    corpus vocabulary reproduces the map-only stand-in bit-for-bit;
+    out-of-vocabulary words score 0."""
+
+    def _weights(self, spark, vocab):
+        return spark.createDataFrame(
+            [(w, _hash_weight_q(w)) for w in sorted(vocab)],
+            "word string, weight_q long",
+        )
+
+    def test_matches_hashed_path(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        vocab = {w for _, t in DOCS for w in t.split() if w}
+        got = {
+            r["doc_id"]: (r["clf_score"], r["clf_score_keep"])
+            for r in classifier_quality_table(df, self._weights(spark, vocab)).collect()
+        }
+        assert got == _got(spark)
+
+    def test_oov_scores_zero_weight(self, spark):
+        df = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+        wt = self._weights(spark, {"alpha"})  # beta/gamma out-of-vocab
+        (row,) = classifier_quality_table(df, wt).collect()
+        z = _hash_weight_q("alpha") / (1000.0 * 3)
+        assert row["clf_score"] == pytest.approx(1.0 / (1.0 + math.exp(-z)), abs=1e-12)
+
+    def test_broadcast_plan(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        vocab = {w for _, t in DOCS for w in t.split() if w}
+        plan = (
+            classifier_quality_table(df, self._weights(spark, vocab))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the one exchange a table scorer needs: the regroup to doc key;
+        # the weight table never shuffles and there is no corpus rejoin
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
 
 
 class TestPlan:

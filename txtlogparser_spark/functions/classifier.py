@@ -99,3 +99,62 @@ def classifier_quality(
     return df.withColumn(out, s).withColumn(
         f"{out}_keep", F.col(out) >= F.lit(threshold)
     )
+
+
+def classifier_quality_table(
+    df: DataFrame,
+    weights: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bias: float = 0.0,
+    out: str = "clf_score",
+) -> DataFrame:
+    """The TRAINED-model deployment path: score from an explicit
+    `(word, weight_q)` table (weight_q = integer weight in
+    [-_WSCALE, _WSCALE], the artifact a fastText/logistic training job
+    exports) instead of the hash stand-in.
+
+    Plan shape: explode words -> broadcast hash-join the weight table
+    (real model vocabularies are ~10^5-10^6 rows, far under the
+    broadcast threshold; out-of-vocabulary words take weight 0 via the
+    left join; `word` must be unique in the table) -> one
+    partial-aggregated groupBy back to the doc key. The explode stays
+    within the source partition, so the partial agg collapses each
+    doc's tokens map-side and the shuffle carries one (key, sum, count)
+    row per doc — the regroup is the one exchange a table-driven scorer
+    fundamentally needs, and it is the ONLY one: the result is the
+    `(key, score, keep)` verdict table, NOT the corpus re-joined (that
+    join is the caller's composition — the usual gate is a broadcast-
+    free semi/anti join or a filter pushed into the next stage; forcing
+    it here would add a corpus-sized doc-key join to every use).
+
+    With `weights` = the hash_weight table over the corpus vocabulary,
+    this is value-identical to classifier_quality's score/keep columns
+    (test-pinned), which is exactly the swap-in guarantee the stand-in
+    promises.
+    """
+    w = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit(""))
+    tokens = df.select(F.col(key), F.explode_outer(w).alias("_word"))
+    wt = F.broadcast(
+        weights.select(F.col("word").alias("_word"), F.col("weight_q"))
+    )
+    scored = (
+        tokens.join(wt, "_word", "left")
+        .groupBy(key)
+        .agg(
+            F.sum(F.coalesce(F.col("weight_q"), F.lit(0)))
+            .cast("long")
+            .alias("_total"),
+            F.count(F.col("_word")).alias("_n"),
+        )
+    )
+    z = F.when(
+        F.col("_n") > 0, F.col("_total") / (F.lit(float(_WSCALE)) * F.col("_n"))
+    ).otherwise(F.lit(0.0)) + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return scored.select(
+        F.col(key),
+        score.alias(out),
+        (score >= F.lit(threshold)).alias(f"{out}_keep"),
+    )
