@@ -129,6 +129,13 @@ class TestPlan:
         plan = c4_line_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_clean_map_only(self, spark):
+        # the pipeline stage must be a projection + filter, never a
+        # corpus self-join on the doc key (an earlier draft's shape)
+        df = spark.createDataFrame(_pages(), "doc_id long, text string")
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
 
 class TestDuckDBParity:
     SQL = f"""

@@ -86,11 +86,19 @@ def c4_clean(
     min_lines: int = 3,
 ) -> DataFrame:
     """The pipeline stage: surviving pages only, `text_col` REPLACED by
-    the cleaned text (other columns pass through untouched)."""
-    stats = c4_line_stats(df, key, text_col, min_words_per_line, min_lines)
-    keepers = stats.where("page_kept").select(key, "cleaned_text")
+    the cleaned text (other columns pass through untouched).
+
+    The whole computation is row-local, so this is a projection + a
+    filter — map-only, no join: an earlier draft rebuilt the keep-set
+    via c4_line_stats and joined it back on the doc key, which turned a
+    one-scan stage into a corpus-sized self-join (two scans + a doc-id
+    shuffle of both sides) for no semantic gain."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: _keep_line(l, min_words_per_line))
+    low = F.lower(F.col(text_col))
+    page_bad = F.col(text_col).contains("{") | low.contains("lorem ipsum")
+    page_kept = ~page_bad & (F.size(kept) >= F.lit(min_lines))
     return (
-        df.drop(text_col)
-        .join(keepers, key)
-        .withColumnRenamed("cleaned_text", text_col)
+        df.where(page_kept)
+        .withColumn(text_col, F.array_join(kept, "\n"))
     )
