@@ -3032,6 +3032,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_score, clf_score >= 0.5 AS clf_score_keep
             FROM sc ORDER BY doc_id
         """,
+        # text_normalize: identical suffix synthesis (chr() builds the
+        # same codepoints the Spark literals carry), then DuckDB's
+        # utf8proc NFC + the same RE2 control strip
+        "text_normalize": """
+            WITH src AS (
+              SELECT doc_id,
+                text || CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ' cafe' || chr(769)
+                  WHEN 1 THEN ' caf' || chr(233) || chr(7)
+                  WHEN 2 THEN ' a' || chr(160) || chr(64257) || 'le'
+                  ELSE '' END AS text
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, text,
+                regexp_replace(nfc_normalize(text),
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS norm
+              FROM src
+            )
+            SELECT doc_id, md5(norm) AS norm_md5, norm != text AS changed,
+              length(text) AS n_before, length(norm) AS n_after
+            FROM n ORDER BY doc_id
+        """,
         # epoch_pack_assemble: global shuffled permutation, then the
         # concat-then-chunk replay running over EPOCH order
         "epoch_pack_assemble": """
@@ -3097,6 +3120,8 @@ def oracle_sql() -> dict[str, str]:
          ["doc_count", "total_chars", "total_words"], set()),
         ("classifier_quality", o.pop("classifier_quality"), ["doc_id"],
          ["clf_score", "clf_score_keep"], {"clf_score_keep"}),
+        ("text_normalize", o.pop("text_normalize"), ["doc_id", "norm_md5"],
+         ["changed", "n_before", "n_after"], {"changed"}),
     ])
     o["log_nav_suite"] = _osuite_sql([
         ("log_nav_next", o.pop("log_nav_next"), ["filter_id"],
@@ -4428,6 +4453,39 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip (functions/
+    normalize.py — the ftfy/Dolma pre-pass that must run before any
+    byte-keyed dedup): the fixture text is pure ASCII, so each doc
+    deterministically gains a suffix by doc_id%4 — decomposed e+acute
+    (NFC composes, length shrinks), composed é plus a BEL control
+    (strip fires), NBSP+fi-ligature (non-ASCII but NFC-invariant:
+    changed=false), or nothing (the ASCII fast path). Normalization is
+    the repo's third sanctioned Arrow-vectorized Python stage; the
+    strip is Catalyst. Verified via per-doc md5 + lengths + changed
+    flag against DuckDB's nfc_normalize (utf8proc) replay."""
+    from txtlogparser_spark.functions.normalize import normalize_text
+
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" café"))
+        .when(m == 1, F.lit(" café\x07"))
+        .when(m == 2, F.lit(" a ﬁle"))
+        .otherwise(F.lit(""))
+    )
+    src = _docs_part(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = normalize_text(src, out_col="norm", form="NFC")
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        (F.col("norm") != F.col("text")).alias("changed"),
+        F.length("text").alias("n_before"),
+        F.length("norm").alias("n_after"),
+    ).orderBy("doc_id")
+
+
 def _synth_urls(d: DataFrame) -> DataFrame:
     """Deterministic per-doc URLs (documents carry no URL column —
     the _synth_pages move): md5-char subdomain variety over four
@@ -4511,6 +4569,12 @@ def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_classifier_quality(spark, sf_dir),
             ["doc_id"],
             ["clf_score", "clf_score_keep"],
+        ),
+        _suite_unpivot(
+            "text_normalize",
+            q_text_normalize(spark, sf_dir),
+            ["doc_id", "norm_md5"],
+            ["changed", "n_before", "n_after"],
         ),
     ]
     return _suite_union(subs)

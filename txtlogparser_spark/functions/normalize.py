@@ -1,0 +1,106 @@
+"""Unicode text normalization for corpus curation (the ftfy/Dolma
+pre-pass every web pipeline runs before tokenization): canonical
+composition (NFC/NFKC/...), control-character stripping, and optional
+whitespace collapsing.
+
+Why it matters at training scale: the same visible text arrives from
+the crawl in multiple byte encodings — 'é' as U+00E9 or as
+'e'+U+0301 — and every downstream exact/dedup/gram operator keys on
+bytes, so un-normalized corpora silently under-deduplicate and split
+token statistics. Normalization must therefore run BEFORE the dedup
+family, and it must be deterministic and engine-replayable.
+
+Scale shape:
+  - Unicode normalization has no Catalyst builtin, so it is this
+    repo's third sanctioned Python stage (with greedy packing and the
+    multimodal codecs): ONE Arrow-vectorized pandas UDF, batch
+    transfer, no per-row Python API calls from the JVM. Inside each
+    batch, pure-ASCII values short-circuit (str.isascii is a C-level
+    scan; every normalization form is the identity on ASCII), so the
+    Python CPU cost tracks the NON-ASCII fraction of the corpus while
+    the Arrow transfer cost stays one corpus pass. At 100 TB, if the
+    corpus is known ASCII-dominant, gate the stage with the pure-
+    Catalyst `is_ascii` predicate first and normalize only the
+    non-ASCII partition slice (two scans of one column vs shipping
+    every byte through Arrow — measure which wins on your mix; both
+    compose from the pieces here).
+  - Control strip and whitespace collapse ARE Catalyst
+    (regexp_replace, RE2-compatible, whole-stage codegen) — with
+    form=None this function is a zero-Python map-only projection.
+
+Ordering contract (pinned by tests and the DuckDB oracle): normalize
+first, then strip controls, then collapse whitespace. NFKC can MINT
+whitespace (U+00A0 NBSP -> ' ', U+2007 FIGURE SPACE -> ' '), so
+collapsing before normalizing would miss runs the normalization just
+created.
+
+Oracle story: DuckDB ships nfc_normalize() (utf8proc), so form='NFC'
+replays value-exactly; the regexp stages replay via regexp_replace
+with the 'g' flag. Other forms are verified against Python's
+unicodedata in tests (no DuckDB builtin).
+
+Reference parity: TxtLogParser treats lines as opaque QString data and
+never re-encodes (TxtData.cpp reads lines verbatim); normalization is
+a training-pipeline extension (SURVEY.md §2 beyond-reference ops).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+# C0 controls minus \t \n \r, plus DEL. Kept RE2-simple so the same
+# class replays in DuckDB/Java byte-for-byte.
+CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def is_ascii(col: Column) -> Column:
+    """Pure-Catalyst ASCII predicate (NULL -> NULL): the gate for
+    splitting a corpus into the free slice and the slice that needs
+    the Python normalization stage."""
+    return col.rlike("^[\\x00-\\x7F]*$")
+
+
+def _norm_udf(form: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        def one(x):
+            if x is None or x.isascii():
+                return x
+            return unicodedata.normalize(form, x)
+
+        return s.map(one)
+
+    return _norm
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str | None = "NFC",
+    strip_controls: bool = True,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Append (or with out_col=None, replace in place) the normalized
+    text: unicodedata.normalize(form, ·) -> control strip -> optional
+    whitespace collapse (\\s+ -> one space, trimmed). form=None skips
+    the Python stage entirely — the remaining steps are pure Catalyst.
+    NULLs pass through as NULL at every stage."""
+    if form is not None and form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS} or None, got {form!r}")
+    cur = F.col(text_col)
+    if form is not None:
+        cur = _norm_udf(form)(cur)
+    if strip_controls:
+        cur = F.regexp_replace(cur, CONTROL_CLASS, "")
+    if collapse_whitespace:
+        cur = F.trim(F.regexp_replace(cur, "\\s+", " "))
+    return df.withColumn(out_col or text_col, cur)
