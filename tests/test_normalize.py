@@ -146,6 +146,39 @@ class TestDuckDBParity:
         assert got == [tuple(w) for w in want]
 
 
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Stateless stage -> must run unchanged as a Structured
+        Streaming transform (incremental crawl-shard ingest); Arrow
+        UDF stages are streaming-safe. availableNow parity."""
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(FIXTURE * 20, SCHEMA).coalesce(2).write.parquet(d)
+
+        def stage(df):
+            return normalize_text(
+                df, out_col="norm", form="NFKC", collapse_whitespace=True
+            )
+
+        batch = sorted(
+            map(tuple, stage(spark.read.parquet(d)).collect()),
+            key=repr,
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(d)
+        q = (
+            stage(stream)
+            .writeStream.format("memory")
+            .queryName("norm_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.sql("select * from norm_stream").collect()),
+            key=repr,
+        )
+        assert got == batch and len(got) == len(FIXTURE) * 20
+
+
 class TestPlan:
     def test_form_none_is_python_free(self, spark):
         df = spark.createDataFrame(FIXTURE, SCHEMA)
