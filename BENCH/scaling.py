@@ -587,6 +587,15 @@ suite (log routing, counts, dedup family, ANN, TPC-H-style aggregates).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
+    # re-apply the data-size (weak) scaling section, which this rewrite
+    # just dropped — weak_scaling.py owns that evidence and renders it
+    # from its own recorded json
+    try:
+        import weak_scaling
+
+        weak_scaling.patch_baseline()
+    except Exception as e:  # missing json / first run — not fatal
+        sys.stderr.write(f"weak-scaling section not applied: {e}\n")
 
 
 if __name__ == "__main__":
