@@ -31,6 +31,14 @@ from txtlogparser_spark.config import FilterSpec, SearchSpec, WorkspaceConfig
 
 VOCAB_SIZE = 4096
 
+# Slab-chunked generation thresholds (write_fixture_tables): one slab of
+# 128M rows would overflow int32 Arrow list offsets (~7.9G tokens > 2^31)
+# and allocate ~60GB of float64 masks. SINGLE_SLAB_MAX_ROWS is deliberately
+# 32M: every dataset the core-scaling protocol has ever recorded (<=32M)
+# keeps generating single-shot, byte-identical to the history runs.
+SINGLE_SLAB_MAX_ROWS = 32_000_000
+SLAB_ROWS = 16_000_000
+
 # Words that the fixture filters/searches target (FIXTURES.md §3).
 _INTERESTING = [
     "ERROR", "Error", "error", "WARN", "warn", "Warn", "INFO", "DEBUG", "TRACE",
@@ -57,8 +65,13 @@ class FixtureSpec:
     interesting_rate: float = 0.25  # per-token prob of an interesting word
 
 
-def generate_sequences(spec: FixtureSpec) -> pa.Table:
-    """Vectorized generation of the sequences table as one Arrow table."""
+def _generate_slab(
+    spec: FixtureSpec, line_start: np.ndarray | None = None
+) -> Tuple[pa.Table, np.ndarray]:
+    """One vectorized slab of the sequences table. `line_start` carries
+    per-source line-number offsets across slabs so chunked generation
+    (write_fixture_tables on >32M rows) keeps doc_id unique corpus-wide.
+    Returns (table, updated per-source counters)."""
     rng = np.random.RandomState(spec.seed)
     n = spec.n_rows
     n_int = len(_INTERESTING)
@@ -81,13 +94,18 @@ def generate_sequences(spec: FixtureSpec) -> pa.Table:
     values = values.astype(np.int32)
 
     # per-source running line numbers → doc_id "{source}-{line_no:08d}"
+    base = (
+        np.zeros(spec.n_sources, dtype=np.int64)
+        if line_start is None
+        else line_start.astype(np.int64)
+    )
     line_no = np.zeros(n, dtype=np.int64)
-    counters = np.zeros(spec.n_sources, dtype=np.int64)
+    counters = base.copy()
     for s in range(spec.n_sources):
         sel = src_idx == s
         cnt = int(sel.sum())
-        line_no[sel] = np.arange(cnt)
-        counters[s] = cnt
+        line_no[sel] = base[s] + np.arange(cnt)
+        counters[s] = base[s] + cnt
     sources = np.array([f"src{s:02d}" for s in range(spec.n_sources)])
     src_col = sources[src_idx]
     doc_id = np.char.add(
@@ -98,7 +116,7 @@ def generate_sequences(spec: FixtureSpec) -> pa.Table:
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
     )
-    return pa.table(
+    table = pa.table(
         {
             "doc_id": pa.array(doc_id.tolist(), type=pa.string()),
             "tokens": tokens,
@@ -106,6 +124,24 @@ def generate_sequences(spec: FixtureSpec) -> pa.Table:
             "source": pa.array(src_col.tolist(), type=pa.string()),
         }
     )
+    return table, counters
+
+
+def generate_sequences(spec: FixtureSpec) -> pa.Table:
+    """Vectorized generation of the sequences table as one Arrow table.
+
+    Single-shot only: one slab's list offsets are int32, so total tokens
+    must stay under 2^31 (n_rows ≲ 32M at the default 3-120 token range).
+    write_fixture_tables chunks past that; this function guards loudly."""
+    est_total = spec.n_rows * (spec.min_tok + spec.max_tok) / 2
+    if est_total > 2**31 - 1:
+        raise ValueError(
+            f"single-slab generation would overflow int32 list offsets "
+            f"(~{est_total / 1e9:.1f}G tokens); use write_fixture_tables, "
+            f"which chunks large specs"
+        )
+    table, _ = _generate_slab(spec)
+    return table
 
 
 def generate_source_info(spec: FixtureSpec) -> pa.Table:
@@ -146,6 +182,29 @@ def default_workspace() -> WorkspaceConfig:
     ).validate()
 
 
+def _write_slab(
+    seq: pa.Table, seq_path: str, partition_by_source: bool, row_group_rows: int
+) -> None:
+    """Append one generated slab to the dataset (uuid part filenames, so
+    successive slabs never clobber each other)."""
+    if partition_by_source:
+        pq.write_to_dataset(
+            seq,
+            seq_path,
+            partition_cols=["source"],
+            max_rows_per_group=row_group_rows,
+            min_rows_per_group=min(row_group_rows, 4096),
+        )
+    else:
+        os.makedirs(seq_path, exist_ok=True)
+        part = len([f for f in os.listdir(seq_path) if f.endswith(".parquet")])
+        pq.write_table(
+            seq,
+            os.path.join(seq_path, f"part-{part}.parquet"),
+            row_group_size=row_group_rows,
+        )
+
+
 def write_fixture_tables(
     out_dir: str,
     spec: FixtureSpec,
@@ -163,22 +222,26 @@ def write_fixture_tables(
     splittable across executors with no repartition shuffle — the same
     reason Iceberg targets many row groups per 128MB file."""
     os.makedirs(out_dir, exist_ok=True)
-    seq = generate_sequences(spec)
     seq_path = os.path.join(out_dir, "sequences")
-    if partition_by_source:
-        pq.write_to_dataset(
-            seq,
-            seq_path,
-            partition_cols=["source"],
-            max_rows_per_group=row_group_rows,
-            min_rows_per_group=min(row_group_rows, 4096),
-        )
+
+    # Slab-chunked generation past the single-slab bound (rationale at the
+    # SINGLE_SLAB_MAX_ROWS definition).
+    if spec.n_rows > SINGLE_SLAB_MAX_ROWS:
+        from dataclasses import replace
+
+        counters: np.ndarray | None = None
+        done = 0
+        slab_idx = 0
+        while done < spec.n_rows:
+            n = min(SLAB_ROWS, spec.n_rows - done)
+            sub = replace(spec, n_rows=n, seed=spec.seed + 1000 * slab_idx)
+            slab, counters = _generate_slab(sub, counters)
+            _write_slab(slab, seq_path, partition_by_source, row_group_rows)
+            done += n
+            slab_idx += 1
     else:
-        os.makedirs(seq_path, exist_ok=True)
-        pq.write_table(
-            seq,
-            os.path.join(seq_path, "part-0.parquet"),
-            row_group_size=row_group_rows,
+        _write_slab(
+            generate_sequences(spec), seq_path, partition_by_source, row_group_rows
         )
     info_path = os.path.join(out_dir, "source_info.parquet")
     pq.write_table(generate_source_info(spec), info_path)
