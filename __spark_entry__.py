@@ -1989,6 +1989,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
         """,
+        # token_decontaminate: identical md5-derived 28-bit vocab hash as
+        # token_ngram_dedup, eval(%10=0) distinct 8-gram digests probed by
+        # the train side's distinct grams
+        "token_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)) AS tokens
+              FROM documents
+            ),
+            eg AS (
+              SELECT DISTINCT md5(array_to_string(tokens[i+1 : i+8], ',')) AS gram
+              FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS t(i)
+              WHERE doc_id % 10 = 0
+            ),
+            tg AS (
+              SELECT DISTINCT doc_id,
+                md5(array_to_string(tokens[i+1 : i+8], ',')) AS gram
+              FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS t(i)
+              WHERE doc_id % 10 <> 0
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n, MIN(gram) AS fh
+              FROM tg JOIN eg USING (gram) GROUP BY 1
+            )
+            SELECT t.doc_id,
+              h.doc_id IS NOT NULL AS is_contaminated,
+              CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+              h.fh AS first_hit
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+            WHERE t.doc_id % 10 <> 0 ORDER BY t.doc_id
+        """,
         # decontaminate_fuzzy: the same minhash/band replay as the dedup
         # oracles, candidates restricted to train(%10<>0) × eval(%10=0),
         # verified at Jaccard >= 0.5 ON THE ROUNDED value (the engine
@@ -2176,6 +2208,35 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(CASE WHEN page_kept THEN array_to_string(kept, chr(10)) ELSE '' END) AS INT)
                 AS clean_len
             FROM fin ORDER BY doc_id
+        """,
+        # window_slices: same tokenizer; DuckDB list slicing x[a:b] is
+        # inclusive, so [s+1 : s+32] is exactly Spark's slice(x, s+1, 32);
+        # // replays the positive-int truncating division
+        "window_slices": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)) AS tokens
+              FROM documents
+            ),
+            nw AS (
+              SELECT doc_id, tokens, len(tokens) AS n_tok,
+                CASE WHEN len(tokens) <= 32 THEN 1
+                     ELSE (len(tokens) - 32 + 23) // 24 + 1 END AS n_windows
+              FROM toks
+            ),
+            w AS (
+              SELECT doc_id, n_tok, n_windows, i AS win_id, i * 24 AS win_start,
+                tokens[i * 24 + 1 : i * 24 + 32] AS win
+              FROM nw, unnest(range(0, n_windows)) AS t(i)
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(n_windows AS BIGINT) AS n_windows,
+              CAST(win_id AS BIGINT) AS win_id,
+              CAST(win_start AS BIGINT) AS win_start,
+              CAST(len(win) AS BIGINT) AS win_len,
+              md5(array_to_string(win, ',')) AS win_md5
+            FROM w WHERE len(win) >= 1 ORDER BY doc_id, win_id
         """,
         # token_ngram_dedup: identical md5-derived 28-bit vocab hash,
         # gram digests of comma-joined id slices, keeper = MIN(doc_id)
@@ -3156,6 +3217,9 @@ def oracle_sql() -> dict[str, str]:
         ("decontaminate_fuzzy", o.pop("decontaminate_fuzzy"), ["doc_id"],
          ["is_fuzzy_contaminated", "best_jacc", "matched_eval_id"],
          {"is_fuzzy_contaminated"}),
+        ("token_decontaminate", o.pop("token_decontaminate"),
+         ["doc_id", "first_hit"],
+         ["is_contaminated", "n_hit_grams"], {"is_contaminated"}),
     ])
     o["pack_suite"] = _osuite_sql([
         ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],
@@ -3166,6 +3230,9 @@ def oracle_sql() -> dict[str, str]:
         ("pack_assemble", o.pop("pack_assemble"),
          ["source", "chunk_id", "tokens_md5"],
          ["n_pieces", "n_tok"], set()),
+        ("window_slices", o.pop("window_slices"),
+         ["doc_id", "win_id", "win_md5"],
+         ["n_tok", "n_windows", "win_start", "win_len"], set()),
     ])
 
     # ---- round-4 curation operators (oracles ported from the pytest
@@ -3780,12 +3847,43 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-NATIVE decontamination (operators/decontaminate.py::
+    token_contamination_flags): the north-star input is pre-tokenized
+    sequences, where text is gone and decontamination must key on
+    token-id n-grams — the form GPT-3/PaLM-style 13-gram decontam
+    actually runs in (benchmark text tokenized with the training
+    tokenizer, then exact id-gram overlap). Token ids here are the
+    md5-derived 28-bit vocab hash (same engine-portable tokenizer as
+    token_ngram_dedup), eval = every 10th doc so the fixture's near-dup
+    families cross the split (6 contaminated train docs / 312 hit
+    grams at sf0.01), n=8 matching the token-dedup gram width. Scale
+    shape: eval grams broadcast, train side one map-side pure-Catalyst
+    explode+probe + one per-doc groupBy — zero eval-side shuffle."""
+    from txtlogparser_spark.operators.decontaminate import (
+        token_contamination_flags,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    train = toks.where(F.col("doc_id") % 10 != 0)
+    ev = toks.where(F.col("doc_id") % 10 == 0)
+    return token_contamination_flags(train, ev, n=8).orderBy("doc_id")
+
+
 def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated decontamination suite (same 50-slot rationale as
-    q_relational_suite): exact n-gram-overlap flags + fuzzy MinHash
-    near-dup flags as one long-format query with full value parity.
-    The exact stage's string witness (first_hit) rides in the grp key
-    like quality_suite's langid prediction."""
+    q_relational_suite): exact text n-gram-overlap flags + fuzzy
+    MinHash near-dup flags + token-native id-gram flags as one
+    long-format query with full value parity. The string witnesses
+    (first_hit gram/shingle) ride in the grp key like quality_suite's
+    langid prediction."""
     subs = [
         _suite_unpivot(
             "decontaminate_eval",
@@ -3798,6 +3896,12 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_decontaminate_fuzzy(spark, sf_dir),
             ["doc_id"],
             ["is_fuzzy_contaminated", "best_jacc", "matched_eval_id"],
+        ),
+        _suite_unpivot(
+            "token_decontaminate",
+            q_token_decontaminate(spark, sf_dir),
+            ["doc_id", "first_hit"],
+            ["is_contaminated", "n_hit_grams"],
         ),
     ]
     return _suite_union(subs)
@@ -4607,11 +4711,48 @@ def q_log_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _suite_union(subs)
 
 
+def q_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking (operators/packing.py::
+    window_slices — the HF `return_overflowing_tokens` recipe): docs
+    tokenized with the md5-derived 28-bit vocab hash, max_len=32 /
+    stride=24 (8-token overlap) so the 10-99-word fixture exercises
+    both the single-window and multi-window branches. One row per
+    window with its content digest. Map-only plan: projection + one
+    posexplode — zero shuffle at any scale (plan-pinned in
+    tests/test_window_slices.py)."""
+    from txtlogparser_spark.operators.packing import window_slices
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    out = window_slices(toks, max_len=32, stride=24)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_windows",
+        "win_id",
+        "win_start",
+        "win_len",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("win_tokens"), lambda t: t.cast("string")),
+                ",",
+            )
+        ).alias("win_md5"),
+    ).orderBy("doc_id", "win_id")
+
+
 def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated sequence-packing suite (50-slot fold): the chunk
-    manifest, greedy bins, and assembled-chunk digests as one
-    long-format query; epoch_pack_assemble stays standalone (it is the
-    composition artifact). Chunk content digests ride in grp."""
+    manifest, greedy bins, assembled-chunk digests, and sliding-window
+    slices as one long-format query; epoch_pack_assemble stays
+    standalone (it is the composition artifact). Chunk/window content
+    digests ride in grp."""
     subs = [
         _suite_unpivot(
             "pack_chunks",
@@ -4637,6 +4778,12 @@ def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pack_assemble(spark, sf_dir),
             ["source", "chunk_id", "tokens_md5"],
             ["n_pieces", "n_tok"],
+        ),
+        _suite_unpivot(
+            "window_slices",
+            q_window_slices(spark, sf_dir),
+            ["doc_id", "win_id", "win_md5"],
+            ["n_tok", "n_windows", "win_start", "win_len"],
         ),
     ]
     return _suite_union(subs)

@@ -56,6 +56,83 @@ class TestDecontaminate:
         assert all(not r["is_contaminated"] for r in out)
 
 
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    """Pre-tokenized sequences: doc 2 shares tokens[0:4] with doc 0;
+    docs 1/3 are disjoint; doc 4 is shorter than any 4-gram."""
+    base = [
+        (0, [10, 11, 12, 13, 14, 15]),
+        (1, [20, 21, 22, 23, 24, 25]),
+        (2, [10, 11, 12, 13, 99, 98]),
+        (3, [30, 31, 32, 33, 34, 35]),
+        (4, [10, 11, 12]),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "tokens"])
+
+
+class TestTokenDecontaminate:
+    def test_flags_and_removal(self, spark, token_docs):
+        """Independent model: doc 2 shares exactly one distinct 4-gram
+        (10,11,12,13) with eval doc 0; everything else is clean."""
+        import hashlib
+
+        from txtlogparser_spark.operators.decontaminate import (
+            decontaminate_tokens,
+            token_contamination_flags,
+        )
+
+        train = token_docs.where(F.col("doc_id") != 0)
+        ev = token_docs.where(F.col("doc_id") == 0)
+        flags = {
+            r["doc_id"]: (r["is_contaminated"], r["n_hit_grams"], r["first_hit"])
+            for r in token_contamination_flags(train, ev, n=4).collect()
+        }
+        want_digest = hashlib.md5(b"10,11,12,13").hexdigest()
+        assert flags[2] == (True, 1, want_digest)
+        for clean in (1, 3, 4):
+            assert flags[clean] == (False, 0, None)
+
+        kept = {r["doc_id"] for r in decontaminate_tokens(train, ev, n=4).collect()}
+        assert kept == {1, 3, 4}
+
+    def test_intra_doc_repeats_count_distinct(self, spark):
+        """A train doc repeating a contaminated gram 3x still reports
+        n_hit_grams=1 — the count is DISTINCT shared grams."""
+        from txtlogparser_spark.operators.decontaminate import (
+            token_contamination_flags,
+        )
+
+        train = spark.createDataFrame(
+            [(1, [7, 8, 7, 8, 7, 8, 7, 8])], ["doc_id", "tokens"]
+        )
+        ev = spark.createDataFrame([(0, [7, 8])], ["doc_id", "tokens"])
+        row = token_contamination_flags(train, ev, n=2).first()
+        # train's (7,8) appears 4x but eval's gram set is {(7,8)} — the
+        # report counts DISTINCT shared grams, so exactly 1
+        assert row["is_contaminated"] and row["n_hit_grams"] == 1
+
+    def test_broadcast_probe_no_python(self, spark, token_docs):
+        """100 TB shape: eval grams broadcast AND the whole plan stays
+        Catalyst-only (token_ngrams is a pure HOF — no Python stage)."""
+        from txtlogparser_spark.operators.decontaminate import (
+            token_contamination_flags,
+        )
+
+        out = token_contamination_flags(token_docs, token_docs.limit(1), n=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+    def test_gram_longer_than_doc_is_clean(self, spark, token_docs):
+        from txtlogparser_spark.operators.decontaminate import (
+            token_contamination_flags,
+        )
+
+        out = token_contamination_flags(token_docs, token_docs, n=50).collect()
+        assert len(out) == 5
+        assert all(not r["is_contaminated"] for r in out)
+
+
 class TestRepetition:
     def test_fractions(self, spark, docs):
         from txtlogparser_spark.functions.text import (

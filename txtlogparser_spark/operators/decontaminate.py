@@ -106,6 +106,104 @@ def decontaminate(
     return train_df.join(dirty, key, "left_anti")
 
 
+def token_eval_gram_set(
+    eval_df: DataFrame, tokens_col: str = "tokens", n: int = 8
+) -> DataFrame:
+    """Distinct token n-gram digests of the eval set — the broadcast
+    probe side of the TOKEN-NATIVE decontamination path. One column
+    `gram` (md5 of the comma-joined id slice, same digest scheme as
+    token_ngram_dedup so index tables are shareable)."""
+    from txtlogparser_spark.operators.dedup import token_ngrams
+
+    return (
+        eval_df.select(
+            F.explode(token_ngrams(F.col(tokens_col), n)).alias("gram")
+        ).distinct()
+    )
+
+
+def token_contamination_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Token-array-native contamination_flags: the same eval-gram
+    broadcast probe, over tokens:array<int> instead of text.
+
+    The north-star input is PRE-TOKENIZED sequences — at that point the
+    text is gone, and decontamination must key on token-id n-grams (the
+    form GPT-3/PaLM-style 13-gram decontamination actually runs in:
+    benchmark text is tokenized with the training tokenizer, then
+    id-gram overlap is exact). Same contract as contamination_flags:
+
+      is_contaminated — true iff any shared token n-gram exists
+      n_hit_grams     — number of DISTINCT shared grams (0 when clean)
+      first_hit       — lexicographically smallest shared gram digest
+                        (deterministic witness; NULL when clean)
+
+    Scale shape (identical to the text path): eval grams are the
+    benchmark-sized broadcast side; the train side pays one map-side
+    explode+probe (token_ngrams is pure Catalyst — no Python) plus the
+    single per-doc groupBy. Never a shuffle of train grams against the
+    eval side, never quadratic."""
+    from txtlogparser_spark.operators.dedup import token_ngrams
+
+    grams = token_eval_gram_set(eval_df, tokens_col, n)
+    train_grams = train_df.select(
+        key,
+        F.explode(
+            F.array_distinct(token_ngrams(F.col(tokens_col), n))
+        ).alias("gram"),
+    )
+    hits = (
+        train_grams.join(F.broadcast(grams), "gram")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_grams"),
+            F.min("gram").alias("first_hit"),
+        )
+    )
+    return (
+        train_df.select(key)
+        .join(hits, key, "left")
+        .select(
+            key,
+            F.col("n_hit_grams").isNotNull().alias("is_contaminated"),
+            F.coalesce(F.col("n_hit_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_hit_grams"),
+            "first_hit",
+        )
+    )
+
+
+def decontaminate_tokens(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Training set with token-gram-contaminated sequences REMOVED —
+    the pipeline stage over pre-tokenized input (token_contamination_
+    flags is the audit report). Broadcast probe + left-anti, keeps
+    every non-key column."""
+    grams = token_eval_gram_set(eval_df, tokens_col, n)
+    from txtlogparser_spark.operators.dedup import token_ngrams
+
+    dirty = (
+        train_df.select(
+            key, F.explode(token_ngrams(F.col(tokens_col), n)).alias("gram")
+        )
+        .join(F.broadcast(grams), "gram")
+        .select(key)
+        .distinct()
+    )
+    return train_df.join(dirty, key, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy (near-duplicate) decontamination.
 #

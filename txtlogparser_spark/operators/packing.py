@@ -22,7 +22,17 @@ key) order:
    row source splits across buckets while producing the exact global
    per-source cumsum.
 
-2. `greedy_pack` — next-fit bin packing (no doc splitting): walk docs
+2. `window_slices` — per-document sliding-window chunking (the
+   HF-tokenizer `return_overflowing_tokens` recipe): every document
+   longer than `max_len` splits into windows starting every `stride`
+   tokens (stride < max_len ⇒ overlapping context, the standard way
+   long documents keep cross-boundary context for LM training). No
+   cross-document state at all, so this is a map-only projection + one
+   generator (posexplode) — zero shuffle at any scale, unlike
+   chunk_pack's stream cumsum; use it when documents must not be
+   concatenated (instruction data, contamination-sensitive evals).
+
+3. `greedy_pack` — next-fit bin packing (no doc splitting): walk docs
    in key order, append to the current bin while it fits, else open a
    new bin. The bin boundary depends on every previous row (a running
    sum with data-dependent reset), which no closed-form window
@@ -191,6 +201,74 @@ def assemble_chunks(
         )
         .withColumn("n_tok", F.size(F.col(tokens_col)))
     )
+
+
+def window_slices(
+    df: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_len: int = 512,
+    stride: int | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-document sliding-window chunking: one output row per window,
+    columns (key, n_tok, n_windows, win_id, win_start, win_len,
+    win_tokens).
+
+    Window i starts at i*stride (0-based token offsets) and carries up
+    to max_len tokens; a doc with n <= max_len yields exactly one
+    window (the doc itself). stride defaults to max_len (disjoint
+    windows); stride < max_len overlaps consecutive windows by
+    max_len - stride tokens. Tail windows shorter than `min_len` are
+    dropped (a doc with 0 tokens yields 0 windows at the default).
+
+    Count formula (n > max_len): n_windows = ceil((n - max_len) /
+    stride) + 1 — the last window starts at the smallest multiple of
+    stride covering the tail. All integer arithmetic; the int/int
+    division truncates on positive values, so the ceil spelling
+    (a + stride - 1) / stride is exact and replays bit-identically in
+    DuckDB.
+
+    Scale shape: map-only — a projection computing the per-doc window
+    array plus ONE posexplode generator; no window function, no join,
+    no shuffle. Output volume ≈ total_tokens/stride rows; at 100 TB
+    this runs as a pure scan→write with whatever partitioning the
+    input already has."""
+    if stride is None:
+        stride = max_len
+    if stride < 1 or max_len < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    n_win = (
+        F.when(n <= F.lit(max_len), F.lit(1))
+        .otherwise(
+            ((n - F.lit(max_len) + F.lit(stride - 1)) / F.lit(stride)).cast(
+                "long"
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win.cast("int") - F.lit(1)),
+        lambda i: F.slice(toks, i * F.lit(stride) + F.lit(1), F.lit(max_len)),
+    )
+    out = df.select(
+        F.col(key),
+        n.cast("long").alias("n_tok"),
+        n_win.alias("n_windows"),
+        F.posexplode(wins).alias("win_id", "win_tokens"),
+    ).select(
+        key,
+        "n_tok",
+        "n_windows",
+        F.col("win_id").cast("long").alias("win_id"),
+        (F.col("win_id") * F.lit(stride)).cast("long").alias("win_start"),
+        F.size("win_tokens").cast("long").alias("win_len"),
+        "win_tokens",
+    )
+    return out.where(F.col("win_len") >= F.lit(min_len))
 
 
 def greedy_pack(
