@@ -974,6 +974,27 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _suite_union(subs)
 
 
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-id coverage report (operators/token_stats.py::
+    token_coverage — the tokenizer-health metric over the north-star's
+    pre-tokenized form): exact occurrence counts, distinct ids, and the
+    mass fraction the top-100 ids carry, ties ranked token-ascending.
+    Scale shape: one map-side-combined groupBy builds the (source,
+    token) dim; the rank window runs over THAT dim only (plan-pinned in
+    tests/test_token_stats.py) — the corpus is never group-sorted."""
+    from txtlogparser_spark.operators.token_stats import token_coverage
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return token_coverage(toks, group_col="source", k=100).orderBy("source")
+
+
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated corpus-profiling suite (round-4, same 50-slot
     rationale as q_relational_suite): token_length_stats +
@@ -1004,6 +1025,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_domain_stats(spark, sf_dir),
             ["domain"],
             ["n_docs", "n_hosts", "sum_ids"],
+        ),
+        _suite_unpivot(
+            "token_coverage",
+            q_token_coverage(spark, sf_dir),
+            ["source"],
+            ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
         ),
     ]
     return _suite_union(subs)
@@ -3038,6 +3065,32 @@ def oracle_sql() -> dict[str, str]:
                 CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
               FROM rd GROUP BY 1
+            ),
+            tokf AS (
+              SELECT source, token, COUNT(*) AS n
+              FROM (SELECT source,
+                      unnest(list_transform(string_split(text, ' '),
+                        w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)))
+                        AS token
+                    FROM documents)
+              GROUP BY 1, 2
+            ),
+            tokr AS (
+              SELECT source, token, n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, token ASC) AS rk
+              FROM tokf
+            ),
+            tokc AS (
+              SELECT source,
+                CAST(SUM(n) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                CAST(SUM(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS BIGINT)
+                  AS topk_mass,
+                MIN(CASE WHEN rk = 1 THEN token END) AS top_token,
+                ROUND(SUM(CASE WHEN rk <= 100 THEN n ELSE 0 END) * 1.0
+                      / SUM(n), 6) AS coverage
+              FROM tokr GROUP BY source
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3066,6 +3119,16 @@ def oracle_sql() -> dict[str, str]:
                 'n_hosts', CAST(n_hosts AS DOUBLE) FROM dom
               UNION ALL SELECT 'domain_stats', CAST(domain AS VARCHAR),
                 'sum_ids', CAST(sum_ids AS DOUBLE) FROM dom
+              UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
+                'n_tokens', CAST(n_tokens AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
+                'n_distinct', CAST(n_distinct AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
+                'topk_mass', CAST(topk_mass AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
+                'top_token', CAST(top_token AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
+                'coverage', CAST(coverage AS DOUBLE) FROM tokc
             ) ORDER BY section, grp, metric
         """,
         # classifier_quality: exact-integer hashed-weight sum + one exp
