@@ -297,3 +297,43 @@ def test_stream_c4_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from c4_stream").collect()))
     assert got == batch
+
+
+def test_stream_window_slices_matches_batch(spark, tmp_path):
+    """window_slices is a stateless projection + generator, so the same
+    call must run unchanged over a token-sequence stream (the arriving-
+    shard path: new pre-tokenized shards get context-chunked on
+    arrival) and emit exactly the batch windows."""
+    from txtlogparser_spark.operators.packing import window_slices
+
+    d = str(tmp_path / "tok_docs")
+    rows = [(i, list(range(i % 37))) for i in range(300)]
+    spark.createDataFrame(rows, "doc_id long, tokens array<int>").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+
+    def slices(df):
+        return window_slices(df, max_len=8, stride=6).select(
+            "doc_id",
+            "n_windows",
+            "win_id",
+            "win_start",
+            "win_len",
+            F.md5(F.concat_ws(",", F.col("win_tokens").cast("array<string>")))
+            .alias("win_md5"),
+        )
+
+    batch = sorted(map(tuple, slices(spark.read.parquet(d)).collect()))
+    assert batch
+
+    schema = spark.read.parquet(d).schema
+    q = (
+        slices(spark.readStream.schema(schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from win_stream").collect()))
+    assert got == batch
