@@ -118,6 +118,33 @@ class TestWindowSlices:
         assert "Python" not in plan and "ArrowEval" not in plan
         assert "Window" not in plan
 
+    def test_exhaustive_length_grid(self, spark):
+        """Every doc length 0..40 against boundary-heavy (max_len,
+        stride) combos — including stride > max_len (step semantics:
+        windows may skip tokens; the count formula still holds)."""
+        from txtlogparser_spark.operators.packing import window_slices
+
+        all_docs = [(n, list(range(n))) for n in range(41)]
+        frame = spark.createDataFrame(all_docs, ["doc_id", "tokens"])
+        for max_len, stride in [(1, 1), (4, 4), (4, 3), (4, 1), (5, 7), (40, 13)]:
+            got = {
+                (r["doc_id"], r["win_id"]): (
+                    r["n_windows"],
+                    r["win_start"],
+                    r["win_len"],
+                    r["win_tokens"],
+                )
+                for r in window_slices(
+                    frame, max_len=max_len, stride=stride
+                ).collect()
+            }
+            want = {}
+            for doc_id, toks in all_docs:
+                n_win, wins = model(toks, max_len, stride)
+                for i, start, ln, w in wins:
+                    want[(doc_id, i)] = (n_win, start, ln, w)
+            assert got == want, (max_len, stride)
+
     def test_validates_args(self, spark, docs):
         from txtlogparser_spark.operators.packing import window_slices
 
