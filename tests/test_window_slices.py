@@ -145,6 +145,22 @@ class TestWindowSlices:
                     want[(doc_id, i)] = (n_win, start, ln, w)
             assert got == want, (max_len, stride)
 
+    def test_null_tokens_yield_no_windows(self, spark):
+        """NULL token arrays produce zero windows (the window array is
+        NULL and posexplode skips it) — same observable contract as an
+        empty doc, no NULL rows leak into the output."""
+        from txtlogparser_spark.operators.packing import window_slices
+
+        frame = spark.createDataFrame(
+            [(0, None), (1, [1, 2, 3])],
+            "doc_id long, tokens array<int>",
+        )
+        rows = window_slices(frame, max_len=2, stride=2).collect()
+        assert sorted((r["doc_id"], r["win_id"]) for r in rows) == [
+            (1, 0),
+            (1, 1),
+        ]
+
     def test_validates_args(self, spark, docs):
         from txtlogparser_spark.operators.packing import window_slices
 
