@@ -404,3 +404,54 @@ class TestTranslatorProperties:
             pass
         except re.error as e:
             assert "bad escape" not in str(e), ecma_to_python(pat)
+
+
+class TestRealisticLogPatterns:
+    """Operational log-analysis patterns through the full ECMA path.
+
+    The reference ships NO default filter patterns — the only built-in
+    pattern transformation is the whole-word '\\b' wrap
+    (FilterData.cpp:167, SearchData.cpp:171), covered above. This class
+    pins the patterns real log workspaces use (timestamps, IPs, levels,
+    hex addresses, UUIDs, HTTP codes, k=v pairs): each must translate
+    losslessly (agreeing subset) and match byte-identically to plain
+    Python `re` under re.ASCII, i.e. a reference user can paste these
+    into this engine unchanged.
+    """
+
+    CASES = [
+        # (pattern, text, expected spans)
+        (r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}",
+         "at 2026-08-19 21:30:05 started", [(3, 22)]),
+        (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+         "src=10.0.42.7 dst=192.168.1.200", [(4, 13), (18, 31)]),
+        (r"(ERROR|WARN|FATAL)", "INFO ok WARN slow ERROR bad",
+         [(8, 12), (18, 23)]),
+        (r"0x[0-9a-fA-F]+", "ptr=0xDEADbeef end", [(4, 14)]),
+        (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+         "id 0f8fad5b-d9cb-469f-a165-70867728950e!", [(3, 39)]),
+        (r" [45]\d{2} ", "GET /x HTTP/1.1 503 12ms", [(15, 20)]),
+        (r"\w+=\S+", "retry count=3 host=db-1:5432", [(6, 13), (14, 28)]),
+        (r"at \w+\.\w+\(\w+\.java:\d+\)",
+         "\tat com.Foo(Foo.java:42)", [(1, 24)]),
+        (r"latency_ms=\d+(\.\d+)?", "latency_ms=12.75 ok", [(0, 16)]),
+        (r"\[(?:[^\]]+)\]", "[pool-1] msg [q=2]", [(0, 8), (13, 18)]),
+    ]
+
+    @pytest.mark.parametrize("pattern,text,want", CASES)
+    def test_portable_unchanged(self, pattern, text, want):
+        got = [
+            (m.start(), m.end())
+            for m in compile_ecma(pattern).finditer(text)
+        ]
+        assert got == want
+        # lossless agreement with plain Python re under re.ASCII — the
+        # translator must not perturb the agreeing subset
+        assert got == spans(pattern, text, re.ASCII)
+
+    def test_icase_level_filter(self):
+        pat = compile_ecma(r"\berror\b", ignore_case=True)
+        text = "Error: ERROR in errors"
+        assert [(m.start(), m.end()) for m in pat.finditer(text)] == [
+            (0, 5), (7, 12),
+        ]
