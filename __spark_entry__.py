@@ -2265,6 +2265,53 @@ def oracle_sql() -> dict[str, str]:
               md5(array_to_string(win, ',')) AS win_md5
             FROM w WHERE len(win) >= 1 ORDER BY doc_id, win_id
         """,
+        # split_on_token: same tokenizer + the t%13==5 -> 2^28 separator
+        # rewrite; 1-based boundary math mirrors the operator exactly
+        # (starts = [1] ++ sp+1, content-exclusive ends = sp ++ [n+1]);
+        # DuckDB's inclusive slice [s : s+len-1] is Spark's slice(x,s,len)
+        "split_on_token": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> CASE WHEN CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) % 13 = 5
+                            THEN 268435456
+                            ELSE CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) END)
+                  AS tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, tokens, len(tokens) AS n,
+                list_filter(range(1, len(tokens) + 1),
+                            p -> tokens[p] = 268435456) AS sp
+              FROM toks
+            ),
+            s AS (
+              SELECT doc_id, tokens, n,
+                list_prepend(1, list_transform(sp, p -> p + 1)) AS starts,
+                list_append(sp, n + 1) AS ends
+              FROM b
+            ),
+            u AS (
+              SELECT doc_id, tokens, n, starts[i] AS st,
+                ends[i] - starts[i] AS clen
+              FROM s, unnest(range(1, len(starts) + 1)) AS t(i)
+            ),
+            k AS (
+              SELECT doc_id, n, st, clen,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1
+                  AS seg_id,
+                COUNT(*) OVER (PARTITION BY doc_id) AS n_segments,
+                tokens[st : st + clen - 1] AS seg
+              FROM u WHERE clen > 0
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+              CAST(n_segments AS BIGINT) AS n_segments,
+              CAST(seg_id AS BIGINT) AS seg_id,
+              CAST(st - 1 AS BIGINT) AS seg_start,
+              CAST(clen AS BIGINT) AS seg_len,
+              md5(array_to_string(seg, ',')) AS seg_md5
+            FROM k ORDER BY doc_id, seg_id
+        """,
         # token_ngram_dedup: identical md5-derived 28-bit vocab hash,
         # gram digests of comma-joined id slices, keeper = MIN(doc_id)
         "token_ngram_dedup": """
@@ -3296,6 +3343,9 @@ def oracle_sql() -> dict[str, str]:
         ("window_slices", o.pop("window_slices"),
          ["doc_id", "win_id", "win_md5"],
          ["n_tok", "n_windows", "win_start", "win_len"], set()),
+        ("split_on_token", o.pop("split_on_token"),
+         ["doc_id", "seg_id", "seg_md5"],
+         ["n_tok", "n_segments", "seg_start", "seg_len"], set()),
     ])
 
     # ---- round-4 curation operators (oracles ported from the pytest
@@ -4810,6 +4860,51 @@ def q_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "win_id")
 
 
+def q_split_on_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-split unpacking (operators/packing.py::split_on_token
+    — the inverse of packing: recover EOS-delimited records from a
+    token stream): docs tokenized with the md5-derived 28-bit vocab
+    hash, then every id with t % 13 == 5 rewritten to SEP=2^28 (outside
+    the hash space) so the fixture deterministically exercises interior
+    / leading / trailing / consecutive separators and no-separator
+    docs. One row per non-empty segment with its content digest.
+    Map-only plan: higher-order boundary math + one posexplode — zero
+    shuffle at any scale (plan-pinned in tests/test_split_on_token.py)."""
+    from txtlogparser_spark.operators.packing import split_on_token
+
+    SEP = 1 << 28
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.when(
+                F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int")
+                % 13
+                == 5,
+                F.lit(SEP),
+            ).otherwise(
+                F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int")
+            ),
+        ).alias("tokens"),
+    )
+    out = split_on_token(toks, sep=SEP)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_segments",
+        "seg_id",
+        "seg_start",
+        "seg_len",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("seg_tokens"), lambda t: t.cast("string")),
+                ",",
+            )
+        ).alias("seg_md5"),
+    ).orderBy("doc_id", "seg_id")
+
+
 def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated sequence-packing suite (50-slot fold): the chunk
     manifest, greedy bins, assembled-chunk digests, and sliding-window
@@ -4847,6 +4942,12 @@ def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_window_slices(spark, sf_dir),
             ["doc_id", "win_id", "win_md5"],
             ["n_tok", "n_windows", "win_start", "win_len"],
+        ),
+        _suite_unpivot(
+            "split_on_token",
+            q_split_on_token(spark, sf_dir),
+            ["doc_id", "seg_id", "seg_md5"],
+            ["n_tok", "n_segments", "seg_start", "seg_len"],
         ),
     ]
     return _suite_union(subs)

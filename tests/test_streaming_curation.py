@@ -337,3 +337,46 @@ def test_stream_window_slices_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from win_stream").collect()))
     assert got == batch
+
+
+def test_stream_split_on_token_matches_batch(spark, tmp_path):
+    """split_on_token is a stateless projection + generator, so the
+    same call must run unchanged over a token-sequence stream (the
+    arriving-shard path: packed shards get unpacked on arrival) and
+    emit exactly the batch segments."""
+    from txtlogparser_spark.operators.packing import split_on_token
+
+    d = str(tmp_path / "packed_docs")
+    SEP = 7
+    rows = [
+        (i, [(j * i + j) % 11 for j in range(i % 41)]) for i in range(300)
+    ]
+    spark.createDataFrame(rows, "doc_id long, tokens array<int>").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+
+    def segs(df):
+        return split_on_token(df, sep=SEP, keep_sep=True).select(
+            "doc_id",
+            "n_segments",
+            "seg_id",
+            "seg_start",
+            "seg_len",
+            F.md5(F.concat_ws(",", F.col("seg_tokens").cast("array<string>")))
+            .alias("seg_md5"),
+        )
+
+    batch = sorted(map(tuple, segs(spark.read.parquet(d)).collect()))
+    assert batch
+
+    schema = spark.read.parquet(d).schema
+    q = (
+        segs(spark.readStream.schema(schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from split_stream").collect()))
+    assert got == batch

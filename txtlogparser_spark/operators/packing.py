@@ -271,6 +271,82 @@ def window_slices(
     return out.where(F.col("win_len") >= F.lit(min_len))
 
 
+def split_on_token(
+    df: DataFrame,
+    sep: int,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    keep_sep: bool = False,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Split token arrays on a separator id — the INVERSE of packing
+    (unpack EOS-concatenated training sequences back into documents, or
+    split docs into EOS-delimited records). One output row per segment:
+    (key, n_tok, n_segments, seg_id, seg_start, seg_len, seg_tokens).
+
+    Segments are the maximal runs between separator occurrences.
+    `drop_empty` (default) drops zero-content segments (consecutive /
+    leading / trailing separators — empty docs in a packed stream);
+    seg_id renumbers 0..n_segments-1 over the KEPT segments and
+    n_segments counts them, so both are consistent post-filter.
+    `keep_sep` re-attaches the terminating separator to each segment
+    that has one (the GPT-style "doc ends with EOS" layout); an
+    unterminated final segment is returned as-is. seg_start is the
+    0-based offset of the segment's first content token in the input
+    array; seg_len counts the emitted tokens (content + optional sep).
+    A NULL tokens array yields 0 rows (posexplode generator semantics,
+    same contract as window_slices). A doc with no separators yields
+    exactly one segment: itself.
+
+    Scale shape: map-only — separator positions, segment boundaries and
+    the empty-filter are all computed per-row with higher-order
+    functions, then ONE posexplode. No window function, no join, no
+    shuffle at any scale; output volume = input token volume."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # 1-based separator positions; boundaries per the classic split:
+    # starts = [1] ++ (sp+1), content-exclusive ends = sp ++ [n+1]
+    sp = F.filter(
+        F.transform(
+            toks, lambda t, i: F.when(t == F.lit(sep), i + 1).otherwise(-1)
+        ),
+        lambda p: p > 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(sp, lambda p: p + 1))
+    ends = F.concat(sp, F.array(n + 1))
+    segs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(s.alias("s"), (e - s).alias("clen")),
+    )
+    if drop_empty:
+        segs = F.filter(segs, lambda x: x["clen"] > 0)
+    exploded = df.select(
+        F.col(key),
+        n.cast("long").alias("n_tok"),
+        toks.alias("_toks"),
+        F.size(segs).cast("long").alias("n_segments"),
+        F.posexplode(segs).alias("seg_id", "_seg"),
+    )
+    s_col = F.col("_seg.s")
+    clen = F.col("_seg.clen")
+    # terminated by a separator <=> content end is not the array end
+    seg_len = (
+        clen + ((s_col + clen) <= F.col("n_tok")).cast("int")
+        if keep_sep
+        else clen
+    )
+    return exploded.select(
+        key,
+        "n_tok",
+        "n_segments",
+        F.col("seg_id").cast("long").alias("seg_id"),
+        (s_col - 1).cast("long").alias("seg_start"),
+        seg_len.cast("long").alias("seg_len"),
+        F.slice(F.col("_toks"), s_col, seg_len).alias("seg_tokens"),
+    )
+
+
 def greedy_pack(
     df: DataFrame,
     key: str = "doc_id",
