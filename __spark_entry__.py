@@ -995,6 +995,52 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_coverage(toks, group_col="source", k=100).orderBy("source")
 
 
+def _drift_slices(spark: SparkSession, sf_dir: str):
+    """Two deterministic corpus slices for the drift report: docs with
+    even vs odd doc_id, tokenized with the md5-derived 28-bit vocab
+    hash (the fixture's duplicate documents land in both slices, so
+    the distributions overlap heavily but not exactly)."""
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return (
+        toks.where(F.col("doc_id") % 2 == 0),
+        toks.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift report (operators/token_stats.py::
+    token_drift_summary — the train/eval mixture-shift audit): KL both
+    ways, Jensen-Shannon, and L1 between the even-doc_id and odd-doc_id
+    slices under add-0.5 smoothing over the union vocab. Scale shape:
+    two map-side-combined frequency passes + one |vocab|-bounded outer
+    join; the corpora are never co-shuffled (plan-pinned in
+    tests/test_token_stats.py)."""
+    from txtlogparser_spark.operators.token_stats import token_drift_summary
+
+    a, b = _drift_slices(spark, sf_dir)
+    return token_drift_summary(a, b)
+
+
+def q_token_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 drift-contributing token ids by smoothed |p_a - p_b|
+    (operators/token_stats.py::token_drift_top): p/q are single IEEE
+    divisions of exact integer counts, so the ranking is bit-identical
+    across engines; ties rank token-ascending."""
+    from txtlogparser_spark.operators.token_stats import token_drift_top
+
+    a, b = _drift_slices(spark, sf_dir)
+    return token_drift_top(a, b, k=10).orderBy(
+        F.desc("abs_diff"), F.asc("token")
+    )
+
+
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated corpus-profiling suite (round-4, same 50-slot
     rationale as q_relational_suite): token_length_stats +
@@ -1031,6 +1077,28 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_token_coverage(spark, sf_dir),
             ["source"],
             ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
+        ),
+        _suite_unpivot(
+            "token_drift",
+            q_token_drift(spark, sf_dir),
+            [],
+            [
+                "n_tok_a",
+                "n_tok_b",
+                "vocab_a",
+                "vocab_b",
+                "vocab_union",
+                "kl_ab",
+                "kl_ba",
+                "js_div",
+                "l1_dist",
+            ],
+        ),
+        _suite_unpivot(
+            "token_drift_top",
+            q_token_drift_top(spark, sf_dir),
+            ["token"],
+            ["n_a", "n_b", "abs_diff"],
         ),
     ]
     return _suite_union(subs)
@@ -3138,6 +3206,52 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(SUM(CASE WHEN rk <= 100 THEN n ELSE 0 END) * 1.0
                       / SUM(n), 6) AS coverage
               FROM tokr GROUP BY source
+            ),
+            dtok AS (
+              SELECT doc_id,
+                unnest(list_transform(string_split(text, ' '),
+                  w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)))
+                  AS token
+              FROM documents
+            ),
+            dcnt AS (
+              SELECT token,
+                CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b
+              FROM dtok GROUP BY 1
+            ),
+            dtot AS (
+              SELECT SUM(n_a) AS na_tot, SUM(n_b) AS nb_tot,
+                COUNT(*) AS v
+              FROM dcnt
+            ),
+            dper AS (
+              SELECT token, n_a, n_b, na_tot, nb_tot, v,
+                (n_a + 0.5) / (na_tot + 0.5 * v) AS p,
+                (n_b + 0.5) / (nb_tot + 0.5 * v) AS q
+              FROM dcnt, dtot
+            ),
+            drift AS (
+              SELECT CAST(MAX(na_tot) AS BIGINT) AS n_tok_a,
+                CAST(MAX(nb_tot) AS BIGINT) AS n_tok_b,
+                CAST(SUM(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_a,
+                CAST(SUM(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_b,
+                CAST(MAX(v) AS BIGINT) AS vocab_union,
+                ROUND(SUM(p * ln(p / q)), 6) AS kl_ab,
+                ROUND(SUM(q * ln(q / p)), 6) AS kl_ba,
+                ROUND(SUM(0.5 * (p * ln(p / ((p + q) / 2))
+                                 + q * ln(q / ((p + q) / 2)))), 6)
+                  AS js_div,
+                ROUND(SUM(abs(p - q)), 6) AS l1_dist
+              FROM dper
+            ),
+            drifttop AS (
+              SELECT token, n_a, n_b, ROUND(abs(p - q), 9) AS abs_diff
+              FROM dper ORDER BY abs(p - q) DESC, token ASC LIMIT 10
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3176,6 +3290,30 @@ def oracle_sql() -> dict[str, str]:
                 'top_token', CAST(top_token AS DOUBLE) FROM tokc
               UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
                 'coverage', CAST(coverage AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_drift', '',
+                'n_tok_a', CAST(n_tok_a AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'n_tok_b', CAST(n_tok_b AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'vocab_a', CAST(vocab_a AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'vocab_b', CAST(vocab_b AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'vocab_union', CAST(vocab_union AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'kl_ab', CAST(kl_ab AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'kl_ba', CAST(kl_ba AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'js_div', CAST(js_div AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift', '',
+                'l1_dist', CAST(l1_dist AS DOUBLE) FROM drift
+              UNION ALL SELECT 'token_drift_top', CAST(token AS VARCHAR),
+                'n_a', CAST(n_a AS DOUBLE) FROM drifttop
+              UNION ALL SELECT 'token_drift_top', CAST(token AS VARCHAR),
+                'n_b', CAST(n_b AS DOUBLE) FROM drifttop
+              UNION ALL SELECT 'token_drift_top', CAST(token AS VARCHAR),
+                'abs_diff', CAST(abs_diff AS DOUBLE) FROM drifttop
             ) ORDER BY section, grp, metric
         """,
         # classifier_quality: exact-integer hashed-weight sum + one exp

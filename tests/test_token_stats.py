@@ -124,3 +124,170 @@ class TestTokenStats:
 
         with pytest.raises(ValueError):
             token_coverage(docs, k=0)
+
+
+class TestTokenDrift:
+    """token_drift_table / _summary / _top: model parity vs an
+    independent Python reference, degenerate slices, and the
+    vocab-bounded plan shape."""
+
+    A = [[1, 2, 3], [1, 1, 4], [2, 5]]
+    B = [[1, 2, 2], [6, 6, 6, 2]]
+
+    @staticmethod
+    def model(a_rows, b_rows, lam=0.5):
+        import math
+        from collections import Counter
+
+        ca = Counter(t for r in a_rows for t in r)
+        cb = Counter(t for r in b_rows for t in r)
+        vocab = sorted(set(ca) | set(cb))
+        na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        p = {t: (ca.get(t, 0) + lam) / (na + lam * v) for t in vocab}
+        q = {t: (cb.get(t, 0) + lam) / (nb + lam * v) for t in vocab}
+        kl_ab = sum(p[t] * math.log(p[t] / q[t]) for t in vocab)
+        kl_ba = sum(q[t] * math.log(q[t] / p[t]) for t in vocab)
+        js = sum(
+            0.5
+            * (
+                p[t] * math.log(p[t] / ((p[t] + q[t]) / 2))
+                + q[t] * math.log(q[t] / ((p[t] + q[t]) / 2))
+            )
+            for t in vocab
+        )
+        l1 = sum(abs(p[t] - q[t]) for t in vocab)
+        return {
+            "n_tok_a": na, "n_tok_b": nb,
+            "vocab_a": len(ca), "vocab_b": len(cb), "vocab_union": v,
+            "kl_ab": round(kl_ab, 6), "kl_ba": round(kl_ba, 6),
+            "js_div": round(js, 6), "l1_dist": round(l1, 6),
+            "p": p, "q": q,
+        }
+
+    def _dfs(self, spark, a_rows, b_rows):
+        mk = lambda rows: spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            "doc_id LONG, tokens ARRAY<INT>",
+        )
+        return mk(a_rows), mk(b_rows)
+
+    def test_table_counts(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_table,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        got = {
+            r["token"]: (r["n_a"], r["n_b"])
+            for r in token_drift_table(a, b).collect()
+        }
+        assert got == {
+            1: (3, 1), 2: (2, 3), 3: (1, 0), 4: (1, 0),
+            5: (1, 0), 6: (0, 3),
+        }
+
+    def test_summary_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        row = token_drift_summary(a, b).collect()[0].asDict()
+        want = self.model(self.A, self.B)
+        for k in (
+            "n_tok_a", "n_tok_b", "vocab_a", "vocab_b", "vocab_union",
+            "kl_ab", "kl_ba", "js_div", "l1_dist",
+        ):
+            assert row[k] == want[k], k
+
+    def test_identical_slices_zero_drift(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+        )
+
+        a, b = self._dfs(spark, self.A, self.A)
+        row = token_drift_summary(a, b).collect()[0]
+        assert (row["kl_ab"], row["kl_ba"], row["js_div"],
+                row["l1_dist"]) == (0.0, 0.0, 0.0, 0.0)
+
+    def test_empty_side(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+        )
+
+        a, b = self._dfs(spark, self.A, [])
+        row = token_drift_summary(a, b).collect()[0]
+        # q is uniform over the union vocab: KL finite, metrics positive
+        assert row["n_tok_b"] == 0 and row["vocab_b"] == 0
+        assert row["kl_ab"] > 0 and row["js_div"] > 0
+
+    def test_top_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_top,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        want = self.model(self.A, self.B)
+        diffs = sorted(
+            ((abs(want["p"][t] - want["q"][t]), t) for t in want["p"]),
+            key=lambda x: (-x[0], x[1]),
+        )
+        got = token_drift_top(a, b, k=3).collect()
+        assert [r["token"] for r in got] == [t for _, t in diffs[:3]]
+        for r, (d, _t) in zip(got, diffs):
+            assert r["abs_diff"] == round(d, 9)
+
+    def test_validates_args(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+            token_drift_top,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        with pytest.raises(ValueError):
+            token_drift_summary(a, b, smoothing=0.0)
+        with pytest.raises(ValueError):
+            token_drift_top(a, b, k=0)
+
+    def test_metric_joins_dims_not_corpora(self, spark):
+        """The only join anywhere is the full-outer on the two
+        (token, n) dims — below each join input sits a HashAggregate
+        (the map-side-combined frequency groupBy), so the corpora are
+        never co-shuffled."""
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_table,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        plan = (
+            token_drift_table(a, b)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert (
+            plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+            == 1
+        )
+        assert plan.count("HashAggregate") >= 2
+
+    def test_metric_job_reads_cached_dim_no_second_join(self, spark):
+        """token_drift_summary persists the drift table and inlines the
+        driver-collected totals as literals: the metric job must read
+        the cached dim (InMemoryTableScan) and contain NO join — the
+        corpus frequency passes run exactly once, during cache fill."""
+        from txtlogparser_spark.operators.token_stats import _drift_base
+
+        a, b = self._dfs(spark, self.A, self.B)
+        tbl, withtot = _drift_base(a, b, "tokens", 0.5)
+        try:
+            plan = (
+                withtot._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "InMemoryTableScan" in plan
+            # the join may appear in the PRINTED cached-relation subplan
+            # (it ran once, at cache fill); above the cache scan the
+            # metric job itself must be join-free
+            assert "Join" not in plan.split("InMemoryTableScan")[0]
+        finally:
+            tbl.unpersist()

@@ -91,3 +91,154 @@ def token_coverage(
             F.round(F.col("topk_mass") / F.col("n_tokens"), 6),
         )
     )
+
+
+def token_drift_table(
+    a: DataFrame, b: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """(token, n_a, n_b) exact occurrence counts of two corpus slices,
+    full-outer aligned on the union vocabulary (zeros filled) — the
+    vocab-bounded dim every drift metric runs over. Two map-side-
+    combined groupBys + one |vocab|-bounded equi-join; the corpora
+    themselves are never joined or co-shuffled."""
+    fa = token_frequency(a, tokens_col).withColumnRenamed("n", "n_a")
+    fb = token_frequency(b, tokens_col).withColumnRenamed("n", "n_b")
+    return fa.join(fb, "token", "full_outer").fillna(0, ["n_a", "n_b"])
+
+
+def _smoothed_pq(lam):
+    """Smoothed probability columns over the drift table + inlined
+    totals: single IEEE divisions of exact integers — bit-identical
+    across engines and partitionings."""
+    p = (F.col("n_a") + lam) / (F.col("_na_tot") + lam * F.col("_v"))
+    q = (F.col("n_b") + lam) / (F.col("_nb_tot") + lam * F.col("_v"))
+    return p, q
+
+
+def _drift_base(a, b, tokens_col, smoothing):
+    """Persisted drift table + its 1-row totals (driver-collected: a
+    3-scalar aggregate over the vocab-bounded dim — the sanctioned
+    scalar-collect shape). Persisting the dim means the two corpus
+    frequency passes run ONCE even though both the totals job and the
+    metric job read the table. Caller must unpersist."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (KL finiteness)")
+    tbl = token_drift_table(a, b, tokens_col).persist()
+    tot = tbl.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    ).collect()[0]
+    withtot = tbl.select(
+        "token",
+        "n_a",
+        "n_b",
+        F.lit(int(tot["na"] or 0)).alias("_na_tot"),
+        F.lit(int(tot["nb"] or 0)).alias("_nb_tot"),
+        F.lit(int(tot["v"] or 0)).alias("_v"),
+    )
+    return tbl, withtot
+
+
+def token_drift_summary(
+    a: DataFrame,
+    b: DataFrame,
+    tokens_col: str = "tokens",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """One-row token-distribution drift report between two corpus
+    slices (train vs eval split, epoch vs epoch, source vs source —
+    the mixture-shift / contamination-shift audit):
+
+      n_tok_a/b    — total token occurrences per slice (exact)
+      vocab_a/b    — distinct ids per slice; vocab_union over both
+      kl_ab, kl_ba — KL(p||q), KL(q||p) in nats over add-lambda
+                     smoothed distributions (lambda=smoothing over the
+                     union vocab, so both p and q sum to exactly 1 and
+                     KL stays finite on one-sided tokens)
+      js_div       — Jensen-Shannon divergence (symmetric, bounded
+                     by ln 2)
+      l1_dist      — total variation x2: sum |p_i - q_i|
+
+    All inputs to the floating stage are exact integer counts; the
+    smoothed p/q are single IEEE divisions, so everything up to the
+    final log-sums replays bit-identically in DuckDB and the sums
+    agree far beyond the round(6) published precision.
+
+    Scale shape: the corpus cost is exactly the two map-side-combined
+    frequency passes — the |vocab|-bounded drift table is persisted,
+    its totals driver-collected (3 scalars) and inlined as literals,
+    and the metric aggregate runs over the cached dim, so neither
+    corpus is ever read twice or co-shuffled. Computed EAGERLY (two
+    small jobs over the cached dim); returns a 1-row DataFrame."""
+    tbl, withtot = _drift_base(a, b, tokens_col, smoothing)
+    try:
+        lam = F.lit(float(smoothing))
+        p, q = _smoothed_pq(lam)
+        m = (p + q) / F.lit(2.0)
+        per = withtot.select(
+            "_na_tot",
+            "_nb_tot",
+            "_v",
+            (F.col("n_a") > 0).cast("long").alias("_ia"),
+            (F.col("n_b") > 0).cast("long").alias("_ib"),
+            (p * F.log(p / q)).alias("_kl_ab"),
+            (q * F.log(q / p)).alias("_kl_ba"),
+            (F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))).alias(
+                "_js"
+            ),
+            F.abs(p - q).alias("_l1"),
+        )
+        out = per.groupBy().agg(
+            F.max("_na_tot").cast("long").alias("n_tok_a"),
+            F.max("_nb_tot").cast("long").alias("n_tok_b"),
+            F.sum("_ia").cast("long").alias("vocab_a"),
+            F.sum("_ib").cast("long").alias("vocab_b"),
+            F.max("_v").cast("long").alias("vocab_union"),
+            F.round(F.sum("_kl_ab"), 6).alias("kl_ab"),
+            F.round(F.sum("_kl_ba"), 6).alias("kl_ba"),
+            F.round(F.sum("_js"), 6).alias("js_div"),
+            F.round(F.sum("_l1"), 6).alias("l1_dist"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        tbl.unpersist()
+    return a.sparkSession.createDataFrame(rows, schema)
+
+
+def token_drift_top(
+    a: DataFrame,
+    b: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Top-k drift contributors: the tokens with the largest smoothed
+    |p_a - p_b| (same add-lambda smoothing as token_drift_summary).
+    Deterministic across engines and partitionings: p/q are single
+    IEEE divisions of exact integers (bit-identical everywhere) and
+    ties rank token-ascending. TakeOrdered over the persisted
+    vocab-bounded drift table — per-partition top-k, no global sort;
+    computed eagerly, returns a k-row DataFrame."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tbl, withtot = _drift_base(a, b, tokens_col, smoothing)
+    try:
+        lam = F.lit(float(smoothing))
+        p, q = _smoothed_pq(lam)
+        out = (
+            withtot.select(
+                "token",
+                F.col("n_a"),
+                F.col("n_b"),
+                F.round(F.abs(p - q), 9).alias("abs_diff"),
+                F.abs(p - q).alias("_raw_diff"),
+            )
+            .orderBy(F.desc("_raw_diff"), F.asc("token"))
+            .limit(k)
+            .drop("_raw_diff")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        tbl.unpersist()
+    return a.sparkSession.createDataFrame(rows, schema)
