@@ -1014,31 +1014,24 @@ def _drift_slices(spark: SparkSession, sf_dir: str):
     )
 
 
-def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-distribution drift report (operators/token_stats.py::
-    token_drift_summary — the train/eval mixture-shift audit): KL both
-    ways, Jensen-Shannon, and L1 between the even-doc_id and odd-doc_id
-    slices under add-0.5 smoothing over the union vocab. Scale shape:
-    two map-side-combined frequency passes + one |vocab|-bounded outer
-    join; the corpora are never co-shuffled (plan-pinned in
+def q_token_drift_pair(spark: SparkSession, sf_dir: str):
+    """(summary, top-10) token-distribution drift reports
+    (operators/token_stats.py::token_drift_report — the train/eval
+    mixture-shift audit): KL both ways, Jensen-Shannon, and L1 between
+    the even-doc_id and odd-doc_id slices under add-0.5 smoothing over
+    the union vocab, plus the ten ids with the largest smoothed
+    |p_a - p_b| (single IEEE divisions of exact integer counts —
+    bit-identical ranking across engines; ties token-ascending). ONE
+    shared persisted drift table feeds both reports: two
+    map-side-combined corpus frequency passes total, one
+    |vocab|-bounded outer join, totals driver-inlined so the metric
+    jobs read the cache join-free (plan-pinned in
     tests/test_token_stats.py)."""
-    from txtlogparser_spark.operators.token_stats import token_drift_summary
+    from txtlogparser_spark.operators.token_stats import token_drift_report
 
     a, b = _drift_slices(spark, sf_dir)
-    return token_drift_summary(a, b)
-
-
-def q_token_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 drift-contributing token ids by smoothed |p_a - p_b|
-    (operators/token_stats.py::token_drift_top): p/q are single IEEE
-    divisions of exact integer counts, so the ranking is bit-identical
-    across engines; ties rank token-ascending."""
-    from txtlogparser_spark.operators.token_stats import token_drift_top
-
-    a, b = _drift_slices(spark, sf_dir)
-    return token_drift_top(a, b, k=10).orderBy(
-        F.desc("abs_diff"), F.asc("token")
-    )
+    summary, top = token_drift_report(a, b, k=10)
+    return summary, top.orderBy(F.desc("abs_diff"), F.asc("token"))
 
 
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,9 +1071,17 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["source"],
             ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
         ),
+        *_token_drift_sections(spark, sf_dir),
+    ]
+    return _suite_union(subs)
+
+
+def _token_drift_sections(spark: SparkSession, sf_dir: str):
+    summary, top = q_token_drift_pair(spark, sf_dir)
+    return [
         _suite_unpivot(
             "token_drift",
-            q_token_drift(spark, sf_dir),
+            summary,
             [],
             [
                 "n_tok_a",
@@ -1096,12 +1097,11 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _suite_unpivot(
             "token_drift_top",
-            q_token_drift_top(spark, sf_dir),
+            top,
             ["token"],
             ["n_a", "n_b", "abs_diff"],
         ),
     ]
-    return _suite_union(subs)
 
 
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

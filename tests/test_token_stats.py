@@ -291,3 +291,48 @@ class TestTokenDrift:
             assert "Join" not in plan.split("InMemoryTableScan")[0]
         finally:
             tbl.unpersist()
+
+    def test_null_token_ids_excluded(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+            token_drift_table,
+        )
+
+        mk = lambda rows: spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            "doc_id LONG, tokens ARRAY<INT>",
+        )
+        a, b = mk([[1, None]]), mk([[None, 2]])
+        got = {
+            r["token"]: (r["n_a"], r["n_b"])
+            for r in token_drift_table(a, b).collect()
+        }
+        assert got == {1: (1, 0), 2: (0, 1)}
+        row = token_drift_summary(a, b).collect()[0]
+        assert row["vocab_union"] == 2
+        assert row["n_tok_a"] == 1 and row["n_tok_b"] == 1
+
+    def test_both_empty_zeros_not_nulls(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_summary,
+        )
+
+        a, b = self._dfs(spark, [], [])
+        row = token_drift_summary(a, b).collect()[0].asDict()
+        assert row == {
+            "n_tok_a": 0, "n_tok_b": 0, "vocab_a": 0, "vocab_b": 0,
+            "vocab_union": 0, "kl_ab": 0.0, "kl_ba": 0.0,
+            "js_div": 0.0, "l1_dist": 0.0,
+        }
+
+    def test_report_matches_individual_calls(self, spark):
+        from txtlogparser_spark.operators.token_stats import (
+            token_drift_report,
+            token_drift_summary,
+            token_drift_top,
+        )
+
+        a, b = self._dfs(spark, self.A, self.B)
+        s, t = token_drift_report(a, b, k=3)
+        assert s.collect() == token_drift_summary(a, b).collect()
+        assert t.collect() == token_drift_top(a, b, k=3).collect()

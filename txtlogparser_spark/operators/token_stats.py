@@ -98,11 +98,21 @@ def token_drift_table(
 ) -> DataFrame:
     """(token, n_a, n_b) exact occurrence counts of two corpus slices,
     full-outer aligned on the union vocabulary (zeros filled) — the
-    vocab-bounded dim every drift metric runs over. Two map-side-
-    combined groupBys + one |vocab|-bounded equi-join; the corpora
-    themselves are never joined or co-shuffled."""
-    fa = token_frequency(a, tokens_col).withColumnRenamed("n", "n_a")
-    fb = token_frequency(b, tokens_col).withColumnRenamed("n", "n_b")
+    vocab-bounded dim every drift metric runs over. NULL token ids are
+    excluded on both sides (a NULL id is missing data, and an equi-join
+    would mis-align it into two one-sided rows). Two map-side-combined
+    groupBys + one |vocab|-bounded equi-join; the corpora themselves
+    are never joined or co-shuffled."""
+    fa = (
+        token_frequency(a, tokens_col)
+        .where(F.col("token").isNotNull())
+        .withColumnRenamed("n", "n_a")
+    )
+    fb = (
+        token_frequency(b, tokens_col)
+        .where(F.col("token").isNotNull())
+        .withColumnRenamed("n", "n_b")
+    )
     return fa.join(fb, "token", "full_outer").fillna(0, ["n_a", "n_b"])
 
 
@@ -120,15 +130,20 @@ def _drift_base(a, b, tokens_col, smoothing):
     3-scalar aggregate over the vocab-bounded dim — the sanctioned
     scalar-collect shape). Persisting the dim means the two corpus
     frequency passes run ONCE even though both the totals job and the
-    metric job read the table. Caller must unpersist."""
+    metric job read the table. Caller must unpersist (the persist is
+    rolled back here if the totals job itself fails)."""
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (KL finiteness)")
     tbl = token_drift_table(a, b, tokens_col).persist()
-    tot = tbl.agg(
-        F.sum("n_a").cast("long").alias("na"),
-        F.sum("n_b").cast("long").alias("nb"),
-        F.count(F.lit(1)).cast("long").alias("v"),
-    ).collect()[0]
+    try:
+        tot = tbl.agg(
+            F.sum("n_a").cast("long").alias("na"),
+            F.sum("n_b").cast("long").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        ).collect()[0]
+    except BaseException:
+        tbl.unpersist()
+        raise
     withtot = tbl.select(
         "token",
         "n_a",
@@ -138,6 +153,86 @@ def _drift_base(a, b, tokens_col, smoothing):
         F.lit(int(tot["v"] or 0)).alias("_v"),
     )
     return tbl, withtot
+
+
+def _summary_frame(withtot, lam):
+    """Lazy 1-row summary over the with-totals dim. Aggregates over an
+    EMPTY dim (both corpora empty) coalesce to exact zeros — max/sum of
+    zero rows are NULL otherwise."""
+    p, q = _smoothed_pq(lam)
+    m = (p + q) / F.lit(2.0)
+    per = withtot.select(
+        "_na_tot",
+        "_nb_tot",
+        "_v",
+        (F.col("n_a") > 0).cast("long").alias("_ia"),
+        (F.col("n_b") > 0).cast("long").alias("_ib"),
+        (p * F.log(p / q)).alias("_kl_ab"),
+        (q * F.log(q / p)).alias("_kl_ba"),
+        (F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))).alias("_js"),
+        F.abs(p - q).alias("_l1"),
+    )
+    zero = F.lit(0).cast("long")
+    return per.groupBy().agg(
+        F.coalesce(F.max("_na_tot").cast("long"), zero).alias("n_tok_a"),
+        F.coalesce(F.max("_nb_tot").cast("long"), zero).alias("n_tok_b"),
+        F.coalesce(F.sum("_ia").cast("long"), zero).alias("vocab_a"),
+        F.coalesce(F.sum("_ib").cast("long"), zero).alias("vocab_b"),
+        F.coalesce(F.max("_v").cast("long"), zero).alias("vocab_union"),
+        F.coalesce(F.round(F.sum("_kl_ab"), 6), F.lit(0.0)).alias("kl_ab"),
+        F.coalesce(F.round(F.sum("_kl_ba"), 6), F.lit(0.0)).alias("kl_ba"),
+        F.coalesce(F.round(F.sum("_js"), 6), F.lit(0.0)).alias("js_div"),
+        F.coalesce(F.round(F.sum("_l1"), 6), F.lit(0.0)).alias("l1_dist"),
+    )
+
+
+def _top_frame(withtot, lam, k):
+    """Lazy top-k drift contributors over the with-totals dim:
+    TakeOrdered (per-partition top-k, no global sort), ties ranked
+    token-ascending."""
+    p, q = _smoothed_pq(lam)
+    return (
+        withtot.select(
+            "token",
+            F.col("n_a"),
+            F.col("n_b"),
+            F.round(F.abs(p - q), 9).alias("abs_diff"),
+            F.abs(p - q).alias("_raw_diff"),
+        )
+        .orderBy(F.desc("_raw_diff"), F.asc("token"))
+        .limit(k)
+        .drop("_raw_diff")
+    )
+
+
+def token_drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 10,
+    smoothing: float = 0.5,
+) -> tuple:
+    """(summary_df, top_df) from ONE shared persisted drift table —
+    the shape to use when both reports are wanted (e.g. the driver
+    suite): two corpus frequency passes total, one cache fill, one
+    unpersist. See token_drift_summary / token_drift_top for the
+    individual report semantics; both are computed eagerly here."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tbl, withtot = _drift_base(a, b, tokens_col, smoothing)
+    try:
+        lam = F.lit(float(smoothing))
+        s = _summary_frame(withtot, lam)
+        t = _top_frame(withtot, lam, k)
+        s_rows, s_schema = s.collect(), s.schema
+        t_rows, t_schema = t.collect(), t.schema
+    finally:
+        tbl.unpersist()
+    spark = a.sparkSession
+    return (
+        spark.createDataFrame(s_rows, s_schema),
+        spark.createDataFrame(t_rows, t_schema),
+    )
 
 
 def token_drift_summary(
@@ -163,43 +258,19 @@ def token_drift_summary(
     All inputs to the floating stage are exact integer counts; the
     smoothed p/q are single IEEE divisions, so everything up to the
     final log-sums replays bit-identically in DuckDB and the sums
-    agree far beyond the round(6) published precision.
+    agree far beyond the round(6) published precision. Two empty
+    corpora report exact zeros (not NULLs).
 
     Scale shape: the corpus cost is exactly the two map-side-combined
     frequency passes — the |vocab|-bounded drift table is persisted,
     its totals driver-collected (3 scalars) and inlined as literals,
     and the metric aggregate runs over the cached dim, so neither
     corpus is ever read twice or co-shuffled. Computed EAGERLY (two
-    small jobs over the cached dim); returns a 1-row DataFrame."""
+    small jobs over the cached dim); returns a 1-row DataFrame. Use
+    token_drift_report when the top-k table is wanted too."""
     tbl, withtot = _drift_base(a, b, tokens_col, smoothing)
     try:
-        lam = F.lit(float(smoothing))
-        p, q = _smoothed_pq(lam)
-        m = (p + q) / F.lit(2.0)
-        per = withtot.select(
-            "_na_tot",
-            "_nb_tot",
-            "_v",
-            (F.col("n_a") > 0).cast("long").alias("_ia"),
-            (F.col("n_b") > 0).cast("long").alias("_ib"),
-            (p * F.log(p / q)).alias("_kl_ab"),
-            (q * F.log(q / p)).alias("_kl_ba"),
-            (F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))).alias(
-                "_js"
-            ),
-            F.abs(p - q).alias("_l1"),
-        )
-        out = per.groupBy().agg(
-            F.max("_na_tot").cast("long").alias("n_tok_a"),
-            F.max("_nb_tot").cast("long").alias("n_tok_b"),
-            F.sum("_ia").cast("long").alias("vocab_a"),
-            F.sum("_ib").cast("long").alias("vocab_b"),
-            F.max("_v").cast("long").alias("vocab_union"),
-            F.round(F.sum("_kl_ab"), 6).alias("kl_ab"),
-            F.round(F.sum("_kl_ba"), 6).alias("kl_ba"),
-            F.round(F.sum("_js"), 6).alias("js_div"),
-            F.round(F.sum("_l1"), 6).alias("l1_dist"),
-        )
+        out = _summary_frame(withtot, F.lit(float(smoothing)))
         rows, schema = out.collect(), out.schema
     finally:
         tbl.unpersist()
@@ -219,25 +290,13 @@ def token_drift_top(
     IEEE divisions of exact integers (bit-identical everywhere) and
     ties rank token-ascending. TakeOrdered over the persisted
     vocab-bounded drift table — per-partition top-k, no global sort;
-    computed eagerly, returns a k-row DataFrame."""
+    computed eagerly, returns a k-row DataFrame. Use
+    token_drift_report when the summary is wanted too."""
     if k < 1:
         raise ValueError("k must be >= 1")
     tbl, withtot = _drift_base(a, b, tokens_col, smoothing)
     try:
-        lam = F.lit(float(smoothing))
-        p, q = _smoothed_pq(lam)
-        out = (
-            withtot.select(
-                "token",
-                F.col("n_a"),
-                F.col("n_b"),
-                F.round(F.abs(p - q), 9).alias("abs_diff"),
-                F.abs(p - q).alias("_raw_diff"),
-            )
-            .orderBy(F.desc("_raw_diff"), F.asc("token"))
-            .limit(k)
-            .drop("_raw_diff")
-        )
+        out = _top_frame(withtot, F.lit(float(smoothing)), k)
         rows, schema = out.collect(), out.schema
     finally:
         tbl.unpersist()
