@@ -99,12 +99,19 @@ def measure(sizes: list[int], trials: int, retries: int) -> dict:
 
     lo, hi = points[0], points[-1]
     ratio = round(hi["throughput"] / lo["throughput"], 3)
+    # flatness must hold at EVERY rung, not just the endpoints — a
+    # middle point below the bar means some stage went super-linear
+    # (or the trial window was contended and should be re-run)
+    ratio_min = round(
+        min(p["throughput"] / lo["throughput"] for p in points), 3
+    )
     return {
         "metric": f"weak scaling (fixed {EXECS}x8 cores, growing input)",
         "points": points,
         "span": round(hi["rows"] / lo["rows"], 1),
         "throughput_ratio_hi_lo": ratio,
-        "acceptance": ratio >= 0.8,
+        "throughput_ratio_min": ratio_min,
+        "acceptance": min(ratio, ratio_min) >= 0.8,
     }
 
 
@@ -134,8 +141,10 @@ partition counts. Per-size basis: median over clean (≤2% steal) trials.
 |---|---|---|---|---|
 {rows_md}
 
-**Throughput ratio (largest ÷ smallest input): {s['throughput_ratio_hi_lo']}
-— {verdict}** (threshold ≥ 0.8; >1.0 means the fixed per-job overhead
+**Throughput ratio largest ÷ smallest: {s['throughput_ratio_hi_lo']},
+worst rung ÷ smallest: {s.get('throughput_ratio_min', s['throughput_ratio_hi_lo'])}
+— {verdict}** (BOTH must be ≥ 0.8 — flatness has to hold at every
+rung, not just the endpoints; >1.0 means the fixed per-job overhead
 amortizes away with size, i.e. big inputs run CHEAPER per row).
 {SENT_END}"""
 
