@@ -1034,6 +1034,32 @@ def q_token_drift_pair(spark: SparkSession, sf_dir: str):
     return summary, top.orderBy(F.desc("abs_diff"), F.asc("token"))
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-id Shannon entropy (operators/token_stats.py::
+    token_entropy — the diversity/degeneracy quality signal): docs
+    tokenized with the md5-derived 28-bit vocab hash, entropy in nats
+    from a MAP-ONLY array_sort + Catalyst fold over each doc's own id
+    histogram — no explode, no (doc, token) shuffle (plan-pinned in
+    tests/test_token_stats.py). DuckDB replays via the per-doc group-by
+    formulation; exact integer counts make the two agree within
+    round(6)."""
+    from txtlogparser_spark.operators.token_stats import token_entropy
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        token_entropy().alias("entropy"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated corpus-profiling suite (round-4, same 50-slot
     rationale as q_relational_suite): token_length_stats +
@@ -1070,6 +1096,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_token_coverage(spark, sf_dir),
             ["source"],
             ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
+        ),
+        _suite_unpivot(
+            "token_entropy",
+            q_token_entropy(spark, sf_dir),
+            ["doc_id"],
+            ["n_tok", "entropy"],
         ),
         *_token_drift_sections(spark, sf_dir),
     ]
@@ -3252,6 +3284,29 @@ def oracle_sql() -> dict[str, str]:
             drifttop AS (
               SELECT token, n_a, n_b, ROUND(abs(p - q), 9) AS abs_diff
               FROM dper ORDER BY abs(p - q) DESC, token ASC LIMIT 10
+            ),
+            etoks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT))
+                  AS tokens
+              FROM documents
+            ),
+            ecnt AS (
+              SELECT doc_id, token, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tokens) AS token FROM etoks)
+              GROUP BY 1, 2
+            ),
+            ent AS (
+              SELECT e.doc_id,
+                CAST(len(e.tokens) AS BIGINT) AS n_tok,
+                CASE WHEN len(e.tokens) > 0
+                     THEN ROUND(ln(len(e.tokens))
+                          - g.s / len(e.tokens), 6)
+                     ELSE NULL END AS entropy
+              FROM etoks e
+              LEFT JOIN (SELECT doc_id, SUM(c * ln(c)) AS s
+                         FROM ecnt GROUP BY 1) g USING (doc_id)
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3290,6 +3345,10 @@ def oracle_sql() -> dict[str, str]:
                 'top_token', CAST(top_token AS DOUBLE) FROM tokc
               UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
                 'coverage', CAST(coverage AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'token_entropy', CAST(doc_id AS VARCHAR),
+                'n_tok', CAST(n_tok AS DOUBLE) FROM ent
+              UNION ALL SELECT 'token_entropy', CAST(doc_id AS VARCHAR),
+                'entropy', CAST(entropy AS DOUBLE) FROM ent
               UNION ALL SELECT 'token_drift', '',
                 'n_tok_a', CAST(n_tok_a AS DOUBLE) FROM drift
               UNION ALL SELECT 'token_drift', '',

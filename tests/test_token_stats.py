@@ -336,3 +336,72 @@ class TestTokenDrift:
         s, t = token_drift_report(a, b, k=3)
         assert s.collect() == token_drift_summary(a, b).collect()
         assert t.collect() == token_drift_top(a, b, k=3).collect()
+
+
+class TestTokenEntropy:
+    """token_entropy: map-only fold parity vs a Counter-based model,
+    analytic fixtures, NULL/empty semantics, and the no-shuffle plan."""
+
+    @staticmethod
+    def model(toks):
+        import math
+        from collections import Counter
+
+        if not toks:
+            return None
+        n = len(toks)
+        s = sum(c * math.log(c) for c in Counter(toks).values())
+        return round(math.log(n) - s / n, 6)
+
+    CASES = [
+        [],                        # empty -> NULL
+        [5],                       # single token -> 0
+        [7, 7, 7, 7],              # constant -> 0
+        [1, 2, 3, 4],              # uniform -> ln(4)
+        [1, 1, 2, 3],              # mixed
+        [3, 1, 2, 1, 3, 1],        # unsorted input, repeated runs
+        list(range(50)) * 2,       # larger uniform-ish
+    ]
+
+    def test_matches_model(self, spark):
+        import math
+
+        from txtlogparser_spark.operators.token_stats import token_entropy
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)],
+            "doc_id LONG, tokens ARRAY<INT>",
+        )
+        got = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", token_entropy().alias("h")
+            ).collect()
+        }
+        for i, toks in enumerate(self.CASES):
+            assert got[i] == self.model(toks), (i, toks)
+        assert got[1] == 0.0 and got[2] == 0.0
+        assert got[3] == round(math.log(4), 6)
+
+    def test_null_tokens_null_entropy(self, spark):
+        from txtlogparser_spark.operators.token_stats import token_entropy
+
+        df = spark.createDataFrame(
+            [(0, None)], "doc_id LONG, tokens ARRAY<INT>"
+        )
+        assert df.select(token_entropy().alias("h")).first()["h"] is None
+
+    def test_plan_is_map_only(self, spark):
+        from txtlogparser_spark.operators.token_stats import token_entropy
+
+        df = spark.createDataFrame(
+            [(0, [1, 2])], "doc_id LONG, tokens ARRAY<INT>"
+        )
+        plan = (
+            df.select("doc_id", token_entropy().alias("h"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for bad in ("Exchange", "Join", "Window", "Generate"):
+            assert bad not in plan, plan

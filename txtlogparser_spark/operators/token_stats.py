@@ -301,3 +301,60 @@ def token_drift_top(
     finally:
         tbl.unpersist()
     return a.sparkSession.createDataFrame(rows, schema)
+
+
+def token_entropy(
+    tokens_col: str = "tokens", out_decimals: int = 6
+) -> "F.Column":
+    """Per-document Shannon entropy (nats) of the token-id
+    distribution — the diversity/degeneracy quality signal (near-0 =
+    the doc is one token repeated; ln(n_distinct) = perfectly uniform).
+
+    H = ln(n) - (1/n) * sum_i c_i ln c_i over the doc's own id
+    histogram — computed MAP-ONLY: array_sort + one Catalyst aggregate
+    fold accumulating run lengths (struct(last, run, s)), with the
+    finish lambda flushing the final run. No explode, no shuffle, no
+    Python; the corpus-wide (doc_id, token) groupBy a naive version
+    needs never happens. Empty/NULL arrays -> NULL. Counts are exact
+    integers; ln and the final division are the only float ops, so the
+    value replays in DuckDB (group-by replay) within round(6)."""
+    toks = F.array_sort(F.col(tokens_col))
+    n = F.size(F.col(tokens_col))
+    zero_struct = F.struct(
+        F.lit(None).cast("bigint").alias("last"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    folded = F.aggregate(
+        toks,
+        zero_struct,
+        lambda acc, t: F.when(
+            acc["last"].eqNullSafe(t.cast("bigint")),
+            F.struct(
+                acc["last"].alias("last"),
+                (acc["run"] + 1).alias("run"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                t.cast("bigint").alias("last"),
+                F.lit(1).cast("long").alias("run"),
+                (
+                    acc["s"]
+                    + F.when(
+                        acc["run"] > 0,
+                        acc["run"] * F.log(acc["run"].cast("double")),
+                    ).otherwise(F.lit(0.0))
+                ).alias("s"),
+            )
+        ),
+        # flush the final run
+        lambda acc: acc["s"]
+        + F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"].cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    h = F.log(n.cast("double")) - folded / n.cast("double")
+    return F.when(n > 0, F.round(h, out_decimals)).otherwise(
+        F.lit(None).cast("double")
+    )
