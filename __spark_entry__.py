@@ -1060,6 +1060,27 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (operators/token_stats.py::
+    zipf_slope): OLS slope and r2 of ln(count) on ln(rank) over the
+    (source, token) frequency dim — the distribution-shape complement
+    of token_coverage. Ranks use the coverage total order (count DESC,
+    token ASC); sums are written out explicitly so DuckDB replays the
+    identical formula. The window and the fit consume only the
+    vocab-bounded dim (plan-pinned in tests/test_token_stats.py)."""
+    from txtlogparser_spark.operators.token_stats import zipf_slope
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return zipf_slope(toks, group_col="source").orderBy("source")
+
+
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated corpus-profiling suite (round-4, same 50-slot
     rationale as q_relational_suite): token_length_stats +
@@ -1096,6 +1117,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_token_coverage(spark, sf_dir),
             ["source"],
             ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
+        ),
+        _suite_unpivot(
+            "zipf_slope",
+            q_zipf_slope(spark, sf_dir),
+            ["source"],
+            ["n_distinct", "slope", "r2"],
         ),
         _suite_unpivot(
             "token_entropy",
@@ -3307,6 +3334,31 @@ def oracle_sql() -> dict[str, str]:
               FROM etoks e
               LEFT JOIN (SELECT doc_id, SUM(c * ln(c)) AS s
                          FROM ecnt GROUP BY 1) g USING (doc_id)
+            ),
+            zr AS (
+              SELECT source,
+                ln(CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, token ASC) AS DOUBLE)) AS x,
+                ln(CAST(n AS DOUBLE)) AS y
+              FROM tokf
+            ),
+            zs AS (
+              SELECT source, CAST(COUNT(*) AS DOUBLE) AS k,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                SUM(y * y) AS syy, SUM(x * y) AS sxy
+              FROM zr GROUP BY 1
+            ),
+            zipf AS (
+              SELECT source, CAST(k AS BIGINT) AS n_distinct,
+                CASE WHEN k * sxx - sx * sx != 0
+                     THEN ROUND((k * sxy - sx * sy)
+                                / (k * sxx - sx * sx), 6) END AS slope,
+                CASE WHEN k * sxx - sx * sx != 0
+                          AND k * syy - sy * sy != 0
+                     THEN ROUND((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                                / ((k * sxx - sx * sx)
+                                   * (k * syy - sy * sy)), 6) END AS r2
+              FROM zs
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3345,6 +3397,12 @@ def oracle_sql() -> dict[str, str]:
                 'top_token', CAST(top_token AS DOUBLE) FROM tokc
               UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
                 'coverage', CAST(coverage AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'zipf_slope', CAST(source AS VARCHAR),
+                'n_distinct', CAST(n_distinct AS DOUBLE) FROM zipf
+              UNION ALL SELECT 'zipf_slope', CAST(source AS VARCHAR),
+                'slope', CAST(slope AS DOUBLE) FROM zipf
+              UNION ALL SELECT 'zipf_slope', CAST(source AS VARCHAR),
+                'r2', CAST(r2 AS DOUBLE) FROM zipf
               UNION ALL SELECT 'token_entropy', CAST(doc_id AS VARCHAR),
                 'n_tok', CAST(n_tok AS DOUBLE) FROM ent
               UNION ALL SELECT 'token_entropy', CAST(doc_id AS VARCHAR),

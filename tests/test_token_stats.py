@@ -405,3 +405,74 @@ class TestTokenEntropy:
         )
         for bad in ("Exchange", "Join", "Window", "Generate"):
             assert bad not in plan, plan
+
+
+class TestZipfSlope:
+    """zipf_slope: OLS parity vs a pure-Python model over the same
+    deterministic ranking, degenerate groups, and the window-over-dim
+    plan shape."""
+
+    ROWS = [
+        ("s0", [1] * 16 + [2] * 8 + [3] * 4 + [4] * 2 + [5]),  # zipf-ish
+        ("s0", [1] * 16),
+        ("s1", [7, 7, 8, 8]),      # all counts equal -> dyy=0 -> r2 NULL
+        ("s2", [9, 9, 9]),          # single distinct -> slope/r2 NULL
+    ]
+
+    @staticmethod
+    def model(rows):
+        import math
+        from collections import Counter, defaultdict
+
+        per = defaultdict(Counter)
+        for src, toks in rows:
+            per[src].update(toks)
+        out = {}
+        for src, cnt in per.items():
+            ranked = sorted(cnt.items(), key=lambda it: (-it[1], it[0]))
+            pts = [
+                (math.log(i + 1), math.log(n))
+                for i, (_, n) in enumerate(ranked)
+            ]
+            k = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            syy = sum(y * y for _, y in pts)
+            sxy = sum(x * y for x, y in pts)
+            num = k * sxy - sx * sy
+            dxx = k * sxx - sx * sx
+            dyy = k * syy - sy * sy
+            slope = round(num / dxx, 6) if dxx != 0 else None
+            r2 = (
+                round(num * num / (dxx * dyy), 6)
+                if dxx != 0 and dyy != 0
+                else None
+            )
+            out[src] = (k, slope, r2)
+        return out
+
+    def test_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import zipf_slope
+
+        df = spark.createDataFrame(self.ROWS, ["source", "tokens"])
+        got = {
+            r["source"]: (r["n_distinct"], r["slope"], r["r2"])
+            for r in zipf_slope(df).collect()
+        }
+        assert got == self.model(self.ROWS)
+        # the zipf-ish source: halving counts per rank is slope < 0
+        assert got["s0"][1] < 0
+        assert got["s1"] == (2, 0.0, None)   # flat counts: slope 0
+        assert got["s2"] == (1, None, None)  # one point: no fit
+
+    def test_fit_runs_over_dim_not_corpus(self, spark):
+        from txtlogparser_spark.operators.token_stats import zipf_slope
+
+        df = spark.createDataFrame(self.ROWS, ["source", "tokens"])
+        plan = (
+            zipf_slope(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        win_at = plan.find("Window")
+        assert win_at != -1
+        assert "HashAggregate" in plan[win_at:]

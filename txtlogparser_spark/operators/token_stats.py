@@ -358,3 +358,62 @@ def token_entropy(
     return F.when(n > 0, F.round(h, out_decimals)).otherwise(
         F.lit(None).cast("double")
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: OLS slope and r2 of
+    y = ln(count) on x = ln(rank) over the group's token-frequency
+    dim (natural-language sources sit near slope -1; degenerate or
+    boilerplate-heavy sources flatten, random-id streams steepen —
+    the distribution-shape complement of token_coverage's mass
+    fraction).
+
+      n_distinct — points in the fit (distinct ids)
+      slope      — (k*Sxy - Sx*Sy) / (k*Sxx - Sx^2), round(6)
+      r2         — (k*Sxy - Sx*Sy)^2 / ((k*Sxx - Sx^2)(k*Syy - Sy^2)),
+                   round(6); NULL when a variance term is 0 (a
+                   single-token group, or all counts equal)
+
+    Ranks are deterministic (count DESC, token ASC — the
+    token_coverage total order), x/y come from exact integer
+    counts/ranks, and the sums are written out explicitly so DuckDB
+    replays the identical formula (not its internal regr_* forms).
+
+    Scale shape: the rank window and the fit consume the map-side-
+    combined (group, token, n) dim — |vocab|-bounded, never the
+    corpus (same plan shape as token_coverage)."""
+    freq = token_frequency(df, tokens_col, group_col).where(
+        F.col("token").isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    pts = freq.select(
+        group_col,
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        group_col,
+        F.col("k").cast("long").alias("n_distinct"),
+        F.when(dxx != 0, F.round(num / dxx, 6)).alias("slope"),
+        F.when(
+            (dxx != 0) & (dyy != 0),
+            F.round(num * num / (dxx * dyy), 6),
+        ).alias("r2"),
+    )
