@@ -380,3 +380,34 @@ def test_stream_split_on_token_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from split_stream").collect()))
     assert got == batch
+
+
+def test_stream_token_entropy_matches_batch(spark, tmp_path):
+    """token_entropy is a map-only fold, so the same column expression
+    must run unchanged over a token-sequence stream and emit exactly
+    the batch entropies."""
+    from txtlogparser_spark.operators.token_stats import token_entropy
+
+    d = str(tmp_path / "ent_docs")
+    rows = [(i, [(j * 7 + i) % 13 for j in range(i % 29)]) for i in range(300)]
+    spark.createDataFrame(rows, "doc_id long, tokens array<int>").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+
+    def ent(df):
+        return df.select("doc_id", token_entropy().alias("h"))
+
+    batch = sorted(map(tuple, ent(spark.read.parquet(d)).collect()))
+    assert batch
+
+    schema = spark.read.parquet(d).schema
+    q = (
+        ent(spark.readStream.schema(schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("ent_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from ent_stream").collect()))
+    assert got == batch
