@@ -1081,6 +1081,55 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(toks, group_col="source").orderBy("source")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/diff.py::corpus_diff — the
+    dataset-versioning / incremental-scan audit): a deterministic
+    "next snapshot" is derived from documents (doc_id%7==0 removed,
+    doc_id%5==0 rewritten with a ' v2' suffix, doc_id%11==0 re-added
+    under doc_id+1e9), then every doc classified
+    added/removed/changed/unchanged via ONE thin (key, digest)
+    full-outer join (plan-pinned: payloads never enter the shuffle —
+    tests/test_corpus_diff.py). Output: per-status doc counts + a
+    bit_xor key checksum, zero-filled so the changelog schema is
+    stable."""
+    from txtlogparser_spark.operators.diff import corpus_diff
+
+    d = _docs_part(spark, sf_dir).select("doc_id", "text")
+    kept = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    diff = corpus_diff(d, kept.unionByName(added))
+    counts = diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("bit_xor(doc_id)").cast("long").alias("key_xor"),
+    )
+    statuses = spark.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        "status STRING",
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        statuses.join(counts, "status", "left_outer")
+        .select(
+            "status",
+            F.coalesce(F.col("n_docs"), zero).alias("n_docs"),
+            F.coalesce(F.col("key_xor"), zero).alias("key_xor"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated corpus-profiling suite (round-4, same 50-slot
     rationale as q_relational_suite): token_length_stats +
@@ -1117,6 +1166,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_token_coverage(spark, sf_dir),
             ["source"],
             ["n_tokens", "n_distinct", "topk_mass", "top_token", "coverage"],
+        ),
+        _suite_unpivot(
+            "corpus_diff",
+            q_corpus_diff(spark, sf_dir),
+            ["status"],
+            ["n_docs", "key_xor"],
         ),
         _suite_unpivot(
             "zipf_slope",
@@ -3359,6 +3414,35 @@ def oracle_sql() -> dict[str, str]:
                                 / ((k * sxx - sx * sx)
                                    * (k * syy - sy * sy)), 6) END AS r2
               FROM zs
+            ),
+            dold AS (SELECT doc_id, md5(text) AS d FROM documents),
+            dnew AS (
+              SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                         ELSE text END) AS d
+              FROM documents WHERE doc_id % 7 != 0
+              UNION ALL
+              SELECT doc_id + 1000000000,
+                md5('new ' || CAST(doc_id AS VARCHAR))
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            dj AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.d IS DISTINCT FROM n.d THEN 'changed'
+                     ELSE 'unchanged' END AS status
+              FROM dold o FULL OUTER JOIN dnew n ON o.doc_id = n.doc_id
+            ),
+            cdiff AS (
+              SELECT s.status,
+                CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+                CAST(COALESCE(c.key_xor, 0) AS BIGINT) AS key_xor
+              FROM (VALUES ('added'), ('removed'), ('changed'),
+                           ('unchanged')) s(status)
+              LEFT JOIN (SELECT status, COUNT(*) AS n_docs,
+                                bit_xor(doc_id) AS key_xor
+                         FROM dj GROUP BY 1) c USING (status)
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3397,6 +3481,10 @@ def oracle_sql() -> dict[str, str]:
                 'top_token', CAST(top_token AS DOUBLE) FROM tokc
               UNION ALL SELECT 'token_coverage', CAST(source AS VARCHAR),
                 'coverage', CAST(coverage AS DOUBLE) FROM tokc
+              UNION ALL SELECT 'corpus_diff', CAST(status AS VARCHAR),
+                'n_docs', CAST(n_docs AS DOUBLE) FROM cdiff
+              UNION ALL SELECT 'corpus_diff', CAST(status AS VARCHAR),
+                'key_xor', CAST(key_xor AS DOUBLE) FROM cdiff
               UNION ALL SELECT 'zipf_slope', CAST(source AS VARCHAR),
                 'n_distinct', CAST(n_distinct AS DOUBLE) FROM zipf
               UNION ALL SELECT 'zipf_slope', CAST(source AS VARCHAR),
