@@ -94,3 +94,32 @@ def test_join_carries_thin_projection(spark, snaps):
     assert (
         plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
     )
+
+
+def test_diff_between_snapshot_table_versions(spark, tmp_path):
+    """corpus_diff over two SnapshotTable reads — the changelog a
+    versioned-corpus pipeline actually computes between the snapshot
+    it trained on and the current one (time travel supplies 'old')."""
+    from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    s1 = t.overwrite(v1)
+    v2 = spark.createDataFrame(
+        [(i, f"doc-{i}" + (" v2" if i % 3 == 0 else "")) for i in range(6)]
+        + [(100, "fresh")],
+        "doc_id LONG, text STRING",
+    )
+    t.overwrite(v2)
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(t.read(s1), t.read()).collect()
+    }
+    assert got == {
+        0: "changed", 1: "unchanged", 2: "unchanged", 3: "changed",
+        4: "unchanged", 5: "unchanged", 6: "removed", 7: "removed",
+        100: "added",
+    }
