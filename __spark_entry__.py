@@ -1081,6 +1081,30 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(toks, group_col="source").orderBy("source")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-pair collocations by pointwise mutual information
+    (operators/token_stats.py::pmi_collocations — the Church-Hanks
+    association pass a corpus audit runs to find token ids that
+    co-occur far above chance). PMI is written as explicit logs of
+    exact integer counts — both engines compute bit-identical doubles,
+    so the RANKING agrees, not just the rounded display value; ties
+    break (pmi DESC, a, b). min_count=5 drops the hapax-pair
+    pathology. Scale shape: two map-side-combined dims, driver-inlined
+    scalar totals, vocab-bounded joins, orderBy+limit top-k (never a
+    single-partition sort) — plan-pinned in tests/test_token_stats.py.
+    """
+    from txtlogparser_spark.operators.token_stats import pmi_collocations
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return pmi_collocations(toks, min_count=5, k=20)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diff.py::corpus_diff — the
     dataset-versioning / incremental-scan audit): a deterministic
@@ -1178,6 +1202,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_zipf_slope(spark, sf_dir),
             ["source"],
             ["n_distinct", "slope", "r2"],
+        ),
+        _suite_unpivot(
+            "pmi_collocations",
+            q_pmi_collocations(spark, sf_dir),
+            ["a", "b"],
+            ["c_ab", "pmi"],
         ),
         _suite_unpivot(
             "token_entropy",
@@ -3443,6 +3473,37 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN (SELECT status, COUNT(*) AS n_docs,
                                 bit_xor(doc_id) AS key_xor
                          FROM dj GROUP BY 1) c USING (status)
+            ),
+            ppair AS (
+              SELECT tokens[i] AS a, tokens[i + 1] AS b,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM etoks, unnest(range(1, greatest(len(tokens), 1))) AS t(i)
+              GROUP BY 1, 2
+            ),
+            puni AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT unnest(tokens) AS token FROM etoks)
+              GROUP BY 1
+            ),
+            ptot AS (
+              SELECT (SELECT SUM(c) FROM ppair) AS n_bi,
+                     (SELECT SUM(n) FROM puni) AS n_uni
+            ),
+            pmi AS (
+              SELECT a, b, c AS c_ab, ROUND(praw, 6) AS pmi
+              FROM (
+                SELECT p.a, p.b, p.c,
+                  ln(CAST(p.c AS DOUBLE))
+                    + 2.0 * ln(CAST(t.n_uni AS DOUBLE))
+                    - ln(CAST(t.n_bi AS DOUBLE))
+                    - ln(CAST(ua.n AS DOUBLE))
+                    - ln(CAST(ub.n AS DOUBLE)) AS praw
+                FROM ppair p
+                JOIN puni ua ON ua.token = p.a
+                JOIN puni ub ON ub.token = p.b
+                CROSS JOIN ptot t
+                WHERE p.c >= 5
+              ) ORDER BY praw DESC, a ASC, b ASC LIMIT 20
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3519,6 +3580,12 @@ def oracle_sql() -> dict[str, str]:
                 'n_b', CAST(n_b AS DOUBLE) FROM drifttop
               UNION ALL SELECT 'token_drift_top', CAST(token AS VARCHAR),
                 'abs_diff', CAST(abs_diff AS DOUBLE) FROM drifttop
+              UNION ALL SELECT 'pmi_collocations',
+                CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR),
+                'c_ab', CAST(c_ab AS DOUBLE) FROM pmi
+              UNION ALL SELECT 'pmi_collocations',
+                CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR),
+                'pmi', CAST(pmi AS DOUBLE) FROM pmi
             ) ORDER BY section, grp, metric
         """,
         # classifier_quality: exact-integer hashed-weight sum + one exp
@@ -4048,11 +4115,62 @@ def oracle_sql() -> dict[str, str]:
           md5(array_to_string(all_toks, ' ')) AS pieces_md5
         FROM agg ORDER BY doc_id
     """
+    # tokenizer_fertility: the same chained-replace segmentation replay,
+    # reduced to per-source piece counts (docs with zero words LEFT-JOIN
+    # back in with 0 pieces so n_docs matches the engine's groupBy)
+    o["tokenizer_fertility"] = rf"""
+        WITH w AS (
+          SELECT doc_id, i AS wi, ws[i] AS wd
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS ws
+                FROM documents),
+               unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        sym0 AS (
+          SELECT doc_id, wi,
+            array_to_string(list_transform(range(1, length(wd) + 1),
+                                           i -> chr(1) || wd[i] || chr(2)), '')
+              || chr(1) || '</w>' || chr(2) AS s
+          FROM w
+        ),
+        m AS (SELECT doc_id, wi, {_merge_expr} AS s FROM sym0),
+        np AS (
+          SELECT doc_id,
+            SUM(len(string_split(substr(s, 2, length(s) - 2),
+                                 chr(2) || chr(1)))) AS np
+          FROM m GROUP BY doc_id
+        ),
+        perdoc AS (
+          SELECT d.source,
+            len(list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+                            x -> x != '')) AS nw,
+            COALESCE(p.np, 0) AS np,
+            length(d.text) AS nc
+          FROM documents d LEFT JOIN np p USING (doc_id)
+        )
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nw) AS BIGINT) AS n_words,
+          CAST(SUM(np) AS BIGINT) AS n_pieces,
+          CASE WHEN SUM(nw) > 0
+               THEN ROUND(CAST(SUM(np) AS DOUBLE)
+                          / CAST(SUM(nw) AS DOUBLE), 6) END AS fertility,
+          CASE WHEN SUM(np) > 0
+               THEN ROUND(CAST(SUM(nc) AS DOUBLE)
+                          / CAST(SUM(np) AS DOUBLE), 6) END AS chars_per_piece
+        FROM perdoc GROUP BY source ORDER BY source
+    """
     o["lm_suite"] = _osuite_sql([
         ("lm_perplexity", o.pop("lm_perplexity"), ["doc_id"],
          ["n_bigrams", "avg_log2p", "ppl"], set()),
         ("ppl_tail_split", o.pop("ppl_tail_split"), ["doc_id", "lang"],
          ["ppl_cell", "bucket"], set()),
+        ("tokenizer_fertility", o.pop("tokenizer_fertility"), ["source"],
+         ["n_docs", "n_words", "n_pieces", "fertility", "chars_per_piece"],
+         set()),
+        ("bm25_topk", _bm25_oracle_sql(), ["query_id", "rank"],
+         ["doc_id", "score"], set()),
     ])
     o["mix_suite"] = _osuite_sql([
         ("source_mix_sample", o.pop("source_mix_sample"), ["source"],
@@ -5684,6 +5802,19 @@ def q_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["doc_id", "lang"],
             ["ppl_cell", "bucket"],
         ),
+        _suite_unpivot(
+            "tokenizer_fertility",
+            q_tokenizer_fertility(spark, sf_dir),
+            ["source"],
+            ["n_docs", "n_words", "n_pieces", "fertility",
+             "chars_per_piece"],
+        ),
+        _suite_unpivot(
+            "bm25_topk",
+            q_bm25_topk(spark, sf_dir),
+            ["query_id", "rank"],
+            ["doc_id", "score"],
+        ),
     ]
     return _suite_union(subs)
 
@@ -5701,6 +5832,157 @@ _BPE_MERGES = [
     (6, "o", "r", 2696),
     (7, "s", "t", 2676),
 ]
+
+
+# Driver-side literal retrieval probes (the realistic shape: a handful
+# of eval/audit queries against a huge corpus — like a trained merge
+# list, they are tiny and arrive with the job, not as a table).
+_BM25_QUERIES = [
+    ("q_join", ["join", "merge"]),
+    ("q_scan", ["table", "scan", "filter"]),
+    ("q_stream", ["stream", "window"]),
+]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py::bm25_topk — the
+    sparse counterpart of the ANN family; decontamination probes and
+    retrieval-based corpus audits run exactly this shape): top-10 docs
+    per literal query by the Lucene-variant BM25. Two map-only corpus
+    passes (one T+2-scalar stats row driver-collected, then a single
+    stack() projection scoring every query at once); only posting-
+    union candidates (score > 0, filtered map-side) reach the
+    per-query rank window. Scores are the same left-to-right IEEE sum
+    in both engines, so the RANKING agrees bit-for-bit; ties break
+    (score DESC, doc_id ASC). Plan-pinned in tests/test_retrieval.py.
+    """
+    from txtlogparser_spark.operators.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    return bm25_topk(
+        d, _BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_oracle_sql() -> str:
+    """DuckDB replay of q_bm25_topk, generated from the SAME literal
+    query list so term order (and therefore the IEEE sum order of the
+    per-term score fractions) matches the engine exactly."""
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    ix = {t: i for i, t in enumerate(terms)}
+    tf_cols = ",\n            ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n            ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    # norm and idf written with the engine's exact parenthesization
+    norm = (
+        f"({k1} * ({1.0 - b} + {b} * "
+        f"(CAST(d.dl AS DOUBLE) / (CAST(st.sdl AS DOUBLE) "
+        f"/ CAST(st.n AS DOUBLE)))))"
+    )
+
+    def idf(i: int) -> str:
+        return (
+            f"ln(1.0 + (CAST(st.n AS DOUBLE) - df{i} + 0.5) "
+            f"/ (df{i} + 0.5))"
+        )
+
+    selects = []
+    for qid, ts in _BM25_QUERIES:
+        frac = " + ".join(
+            f"{idf(ix[t])} * ((CAST(d.tf{ix[t]} AS DOUBLE) * {k1 + 1.0}) "
+            f"/ (CAST(d.tf{ix[t]} AS DOUBLE) + {norm}))"
+            for t in ts
+        )
+        selects.append(
+            f"SELECT '{qid}' AS query_id, d.doc_id, {frac} AS s "
+            f"FROM d CROSS JOIN st"
+        )
+    scored = "\nUNION ALL ".join(selects)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x != '') AS ws
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id, len(ws) AS dl,
+            {tf_cols}
+          FROM w
+        ),
+        st AS (
+          SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+            {df_cols}
+          FROM d
+        ),
+        scored AS (
+{scored}
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, s,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, doc_id ASC) AS rank
+          FROM scored WHERE s > 0.0
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+          ROUND(s, 6) AS score
+        FROM ranked WHERE rank <= {_BM25_K}
+        ORDER BY query_id, rank
+    """
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report over the fixed BPE merge
+    list (_BPE_MERGES — trained once, applied corpus-wide): fertility =
+    word-pieces per word, THE tokenizer-health number (a tokenizer
+    fitted to a source sits near 1.1-1.4; a mismatched script or
+    boilerplate-heavy source balloons), plus chars-per-piece (the
+    compression view of the same signal). Map-only segmentation
+    (bpe_segment's Catalyst fold chain) + ONE map-side-combined groupBy
+    on source; all sums are exact integers, the two ratios are single
+    IEEE divisions rounded at the very end — bit-identical in DuckDB's
+    chained-replace replay (the bpe_segment oracle machinery). Guarded
+    for all-empty-word sources (NULL ratios, no divide-by-zero)."""
+    from txtlogparser_spark.operators.bpe import bpe_segment
+
+    d = _docs(spark, sf_dir)
+    seg = bpe_segment(d, _BPE_MERGES)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+", -1), lambda w: w != ""
+    )
+    per = seg.select(
+        "source",
+        F.size(words).cast("long").alias("_nw"),
+        F.size("bpe_tokens").cast("long").alias("_np"),
+        F.length("text").cast("long").alias("_nc"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("n_words"),
+        F.sum("_np").cast("long").alias("n_pieces"),
+        F.sum("_nc").cast("long").alias("_n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_pieces") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_pieces") > 0,
+            F.round(F.col("_n_chars") / F.col("n_pieces"), 6),
+        ).alias("chars_per_piece"),
+    ).orderBy("source")
 
 
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -476,3 +476,126 @@ class TestZipfSlope:
         win_at = plan.find("Window")
         assert win_at != -1
         assert "HashAggregate" in plan[win_at:]
+
+
+class TestPmiCollocations:
+    ROWS = [
+        # "1 2" appears often (strong collocation); 3/4 common alone
+        ("d0", [1, 2, 3, 1, 2, 4, 1, 2]),
+        ("d1", [1, 2, 3, 3, 4, 1, 2]),
+        ("d2", [3, 4, 1, 2, 1, 2, 3]),
+        ("d3", [4, 3, 4, 1, 2, 4]),
+        ("d4", []),                       # no pairs
+        ("d5", [9]),                      # single token, no pairs
+    ]
+
+    def _frame(self, spark):
+        return spark.createDataFrame(self.ROWS, ["doc_id", "tokens"])
+
+    @staticmethod
+    def model(rows, min_count, k):
+        import math
+        from collections import Counter
+
+        bi, uni = Counter(), Counter()
+        for _id, toks in rows:
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        n_bi, n_uni = sum(bi.values()), sum(uni.values())
+        out = []
+        for (a, b), c in bi.items():
+            if c < min_count:
+                continue
+            pmi = (
+                math.log(c) + 2.0 * math.log(n_uni)
+                - math.log(n_bi) - math.log(uni[a]) - math.log(uni[b])
+            )
+            out.append((a, b, c, pmi))
+        out.sort(key=lambda t: (-t[3], t[0], t[1]))
+        return [(a, b, c, round(p, 6)) for a, b, c, p in out[:k]]
+
+    def test_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import pmi_collocations
+
+        got = [
+            (r["a"], r["b"], r["c_ab"], r["pmi"])
+            for r in pmi_collocations(
+                self._frame(spark), min_count=2, k=10
+            ).collect()
+        ]
+        assert got == self.model(self.ROWS, 2, 10)
+
+    def test_min_count_drops_rare_pairs(self, spark):
+        from txtlogparser_spark.operators.token_stats import pmi_collocations
+
+        got = pmi_collocations(self._frame(spark), min_count=3, k=50).collect()
+        assert all(r["c_ab"] >= 3 for r in got)
+        assert {(r["a"], r["b"]) for r in got} == {
+            (a, b) for a, b, c, _ in self.model(self.ROWS, 3, 50)
+        }
+
+    def test_pair_dim_aggregates_map_side(self, spark):
+        """pair_frequency's physical plan must partially aggregate below
+        the exchange (map-side combine): a 10^9-copy hot pair partially
+        collapses per map partition, so the shuffle moves the dim, not
+        the corpus."""
+        from txtlogparser_spark.operators.token_stats import pair_frequency
+
+        plan = (
+            pair_frequency(self._frame(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        first_agg = plan.find("HashAggregate")
+        exch = plan.find("Exchange")
+        assert first_agg != -1 and exch != -1
+        assert "HashAggregate" in plan[exch:], (
+            "no partial aggregate below the exchange"
+        )
+
+    def test_topk_avoids_single_partition_sort(self, spark):
+        """The top-k must be TakeOrderedAndProject (per-partition heads +
+        k-row merge), never an Exchange SinglePartition + Sort."""
+        from txtlogparser_spark.operators.token_stats import (
+            pair_frequency,
+            token_frequency,
+        )
+        import pyspark.sql.functions as F
+
+        df = self._frame(spark)
+        bi = pair_frequency(df)
+        uni = token_frequency(df)
+        scored = (
+            bi.join(uni.select(F.col("token").alias("a"),
+                               F.col("n").alias("c_a")), "a")
+            .select("a", "b", "c", (F.log("c") - F.log("c_a")).alias("_pmi"))
+        )
+        plan = (
+            scored.orderBy(F.desc("_pmi"), "a", "b").limit(5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_empty_and_validation(self, spark):
+        from txtlogparser_spark.operators.token_stats import pmi_collocations
+
+        empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+        assert pmi_collocations(empty, min_count=1, k=5).collect() == []
+        with pytest.raises(ValueError):
+            pmi_collocations(empty, min_count=0)
+        with pytest.raises(ValueError):
+            pmi_collocations(empty, k=0)
+
+    def test_null_ids_never_pair(self, spark):
+        from txtlogparser_spark.operators.token_stats import pair_frequency
+
+        df = spark.createDataFrame(
+            [("d0", [1, None, 2, 1, None, 2])],
+            "doc_id string, tokens array<int>",
+        )
+        got = {(r["a"], r["b"]): r["c"] for r in pair_frequency(df).collect()}
+        assert got == {(2, 1): 1}

@@ -417,3 +417,120 @@ def zipf_slope(
             F.round(num * num / (dxx * dyy), 6),
         ).alias("r2"),
     )
+
+
+def pair_frequency(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(a, b, c) exact occurrence counts of ADJACENT token-id pairs —
+    the bigram dim collocation mining runs over. Same scale shape as
+    token_frequency: one map-side transform builds each document's
+    pair array (guarded for <2-token docs the way operators/lm.py
+    guards empty word arrays — sequence(1, 0) would descend), ONE
+    explode feeds a map-side-combined groupBy, and the result is a dim
+    bounded by the number of DISTINCT adjacent pairs, never the
+    corpus. NULL ids never form pairs (a NULL id is missing data)."""
+    toks = F.col(tokens_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+        ),
+    )
+    guarded = F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:int,b:int>>")
+    )
+    return (
+        df.select(F.explode(guarded).alias("_pr"))
+        .select("_pr.a", "_pr.b")
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token-id pairs (the classic Church-Hanks association measure — the
+    collocation/phrase-mining pass a tokenizer- or corpus-audit runs to
+    find ids that co-occur far above chance):
+
+      pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+               = ln(c_ab) + 2·ln(N_uni) - ln(N_bi) - ln(c_a) - ln(c_b)
+
+    written as explicit logs of EXACT integer counts, so both engines
+    compute bit-identical doubles and agree on the ranking, not just
+    the rounded display value. `min_count` drops rare pairs (PMI's
+    known low-frequency pathology: a 1-occurrence pair of two hapaxes
+    maximizes raw PMI).
+
+    Scale shape: two map-side-combined corpus passes build the pair
+    and unigram dims; totals are driver-collected scalars over those
+    dims (the _drift_base convention) and inlined as literals so the
+    scoring job is join-free above the two vocab-bounded dim joins.
+    Top-k is orderBy+limit — TakeOrderedAndProject, per-partition
+    heads + a k-row merge, never a single-partition sort. Ties break
+    (pmi DESC, a ASC, b ASC) — a total order, partitioning-invariant.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    bi = pair_frequency(df, tokens_col).persist()
+    try:
+        uni = (
+            token_frequency(df, tokens_col)
+            .where(F.col("token").isNotNull())
+            .persist()
+        )
+        try:
+            n_bi = int(
+                bi.agg(F.sum("c").cast("long")).collect()[0][0] or 0
+            )
+            n_uni = int(
+                uni.agg(F.sum("n").cast("long")).collect()[0][0] or 0
+            )
+            ua = uni.select(
+                F.col("token").alias("a"), F.col("n").alias("c_a")
+            )
+            ub = uni.select(
+                F.col("token").alias("b"), F.col("n").alias("c_b")
+            )
+            scored = (
+                bi.where(F.col("c") >= min_count)
+                .join(ua, "a")
+                .join(ub, "b")
+                .select(
+                    "a",
+                    "b",
+                    F.col("c").alias("c_ab"),
+                    (
+                        F.log(F.col("c").cast("double"))
+                        + F.lit(2.0) * F.log(F.lit(float(n_uni)))
+                        - F.log(F.lit(float(n_bi)))
+                        - F.log(F.col("c_a").cast("double"))
+                        - F.log(F.col("c_b").cast("double"))
+                    ).alias("_pmi"),
+                )
+            )
+            out = (
+                scored.orderBy(
+                    F.desc("_pmi"), F.asc("a"), F.asc("b")
+                )
+                .limit(k)
+                .select("a", "b", "c_ab", F.round("_pmi", 6).alias("pmi"))
+            )
+            # materialize before unpersist: limit(k) is k rows
+            rows = out.collect()
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                rows, "a int, b int, c_ab long, pmi double"
+            )
+        finally:
+            uni.unpersist()
+    finally:
+        bi.unpersist()
