@@ -4172,6 +4172,70 @@ def oracle_sql() -> dict[str, str]:
         ("bm25_topk", _bm25_oracle_sql(), ["query_id", "rank"],
          ["doc_id", "score"], set()),
     ])
+    # dsir_select: hashed-ngram importance resampling replayed — same
+    # md5 buckets, same add-0.5 smoothing, same floor(r*2^24+0.5)
+    # fixed-point quantization (exact BIGINT per-doc sums), same
+    # md5-derived Gumbel keys; ranking on the raw key like the engine
+    o["dsir_select"] = r"""
+        WITH w AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x != '') AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, lang,
+            list_concat(ws,
+              list_transform(range(1, greatest(len(ws), 1)),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS grams
+          FROM w
+        ),
+        gb AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('dsir-v1:' || gram), 1, 7))
+                 AS BIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
+        ),
+        tcnt AS (SELECT b, COUNT(*) AS ct FROM gb WHERE lang = 'en'
+                 GROUP BY 1),
+        rcnt AS (SELECT b, COUNT(*) AS cr FROM gb GROUP BY 1),
+        tot AS (
+          SELECT (SELECT COALESCE(SUM(ct), 0) FROM tcnt) AS ctt,
+                 (SELECT COALESCE(SUM(cr), 0) FROM rcnt) AS crt
+        ),
+        qr AS (
+          SELECT bk.b,
+            CAST(floor((ln((COALESCE(t.ct, 0) + 0.5)
+                           / (tot.ctt + 0.5 * 64))
+                        - ln((COALESCE(r.cr, 0) + 0.5)
+                             / (tot.crt + 0.5 * 64)))
+                       * 16777216.0 + 0.5) AS BIGINT) AS q
+          FROM (SELECT unnest(range(0, 64)) AS b) bk
+          LEFT JOIN tcnt t USING (b)
+          LEFT JOIN rcnt r USING (b)
+          CROSS JOIN tot
+        ),
+        wfp AS (
+          SELECT gb.doc_id, SUM(qr.q) AS wfp
+          FROM gb JOIN qr USING (b) GROUP BY 1
+        ),
+        scored AS (
+          SELECT d.doc_id, COALESCE(f.wfp, 0) AS wfp,
+            -ln(-ln((CAST(('0x' || substr(md5('gum:dsir-v1:'
+                                            || CAST(d.doc_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT) + 1)
+                    / 281474976710657.0)) AS gk
+          FROM documents d LEFT JOIN wfp f USING (doc_id)
+        ),
+        keyed AS (
+          SELECT doc_id,
+            ROUND(CAST(wfp AS DOUBLE) / 16777216.0, 6) AS weight,
+            CAST(wfp AS DOUBLE) / 16777216.0 / 1.0 + gk AS k
+          FROM scored
+        )
+        SELECT doc_id, weight, ROUND(k, 6) AS gkey
+        FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 50
+    """
     o["mix_suite"] = _osuite_sql([
         ("source_mix_sample", o.pop("source_mix_sample"), ["source"],
          ["mix_rate", "n_sampled", "sum_ids"], set()),
@@ -4181,6 +4245,8 @@ def oracle_sql() -> dict[str, str]:
          ["source", "doc_id"], ["n_tok"], set()),
         ("temperature_mix", o.pop("temperature_mix"), ["source"],
          ["t_rate", "n_sampled", "sum_ids"], set()),
+        ("dsir_select", o.pop("dsir_select"), ["doc_id"],
+         ["weight", "gkey"], set()),
     ])
     return o
 
@@ -5627,8 +5693,30 @@ def q_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["source"],
             ["t_rate", "n_sampled", "sum_ids"],
         ),
+        _suite_unpivot(
+            "dsir_select",
+            q_dsir_select(spark, sf_dir),
+            ["doc_id"],
+            ["weight", "gkey"],
+        ),
     ]
     return _suite_union(subs)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    re-weight the raw corpus toward the lang='en' slice's hashed-ngram
+    distribution and Gumbel-top-50 select. Feature hashing and scoring
+    are map-only; the model is two 64-row bucket dims folded into a
+    literal fixed-point log-ratio array (exact integer per-doc sums —
+    order-insensitive, engine-portable); selection is orderBy+limit
+    with deterministic md5-derived Gumbel noise. Plan-pinned in
+    tests/test_dsir.py; full DuckDB value oracle (mix_suite)."""
+    from txtlogparser_spark.operators.dsir import dsir_select
+
+    d = _docs(spark, sf_dir)
+    target = d.where(F.col("lang") == "en")
+    return dsir_select(d, target, 50)
 
 
 def _synth_pages(d: DataFrame) -> DataFrame:
