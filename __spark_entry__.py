@@ -1105,6 +1105,46 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(toks, min_count=5, k=20)
 
 
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (operators/token_stats.py::
+    vocab_overlap — the cross-source redundancy audit): Jaccard over
+    distinct md5-hashed token ids for every source pair. One map-side-
+    combined distinct builds the (source, token) vocab dim; pair counts
+    self-join THAT dim on token; sizes broadcast back. Exact integer
+    counts, one rounded division — full DuckDB parity."""
+    from txtlogparser_spark.operators.token_stats import vocab_overlap
+
+    d = _docs_part(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    return vocab_overlap(toks, group_col="source").orderBy("src_a", "src_b")
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order (operators/sampling.py::
+    curriculum_order): quantile_buckets stratifies docs into 3 phases
+    by the composite quality score (phase 1 = cleanest third), then a
+    deterministic within-phase shuffle via the epoch_shuffle
+    decomposition (phase-digit + hash-prefix buckets, parallel windows
+    + broadcast offsets — no single-partition sort). DuckDB replays
+    the identical grid-histogram bucketing and the one-window order."""
+    from txtlogparser_spark.functions.text import quality_score
+    from txtlogparser_spark.operators.sampling import curriculum_order
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", quality_score().alias("_q")
+    )
+    return (
+        curriculum_order(d, "_q", n_phases=3, seed="curr-0")
+        .select("doc_id", "phase", "curriculum_pos")
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diff.py::corpus_diff — the
     dataset-versioning / incremental-scan audit): a deterministic
@@ -1208,6 +1248,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_pmi_collocations(spark, sf_dir),
             ["a", "b"],
             ["c_ab", "pmi"],
+        ),
+        _suite_unpivot(
+            "vocab_overlap",
+            q_vocab_overlap(spark, sf_dir),
+            ["src_a", "src_b"],
+            ["n_common", "n_a", "n_b", "jaccard"],
         ),
         _suite_unpivot(
             "token_entropy",
@@ -3504,6 +3550,25 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN ptot t
                 WHERE p.c >= 5
               ) ORDER BY praw DESC, a ASC, b ASC LIMIT 20
+            ),
+            vover AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM (SELECT source, token FROM tokf) a
+              JOIN (SELECT source, token FROM tokf) b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            ),
+            vsz AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tokf GROUP BY 1
+            ),
+            vj AS (
+              SELECT v.src_a, v.src_b, v.n_common, sa.n AS n_a, sb.n AS n_b,
+                ROUND(v.n_common / (sa.n + sb.n - v.n_common), 6) AS jaccard
+              FROM vover v
+              JOIN vsz sa ON sa.source = v.src_a
+              JOIN vsz sb ON sb.source = v.src_b
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3586,6 +3651,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'pmi_collocations',
                 CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR),
                 'pmi', CAST(pmi AS DOUBLE) FROM pmi
+              UNION ALL SELECT 'vocab_overlap',
+                CAST(src_a AS VARCHAR) || '|' || CAST(src_b AS VARCHAR),
+                'n_common', CAST(n_common AS DOUBLE) FROM vj
+              UNION ALL SELECT 'vocab_overlap',
+                CAST(src_a AS VARCHAR) || '|' || CAST(src_b AS VARCHAR),
+                'n_a', CAST(n_a AS DOUBLE) FROM vj
+              UNION ALL SELECT 'vocab_overlap',
+                CAST(src_a AS VARCHAR) || '|' || CAST(src_b AS VARCHAR),
+                'n_b', CAST(n_b AS DOUBLE) FROM vj
+              UNION ALL SELECT 'vocab_overlap',
+                CAST(src_a AS VARCHAR) || '|' || CAST(src_b AS VARCHAR),
+                'jaccard', CAST(jaccard AS DOUBLE) FROM vj
             ) ORDER BY section, grp, metric
         """,
         # classifier_quality: exact-integer hashed-weight sum + one exp
@@ -4236,6 +4313,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, weight, ROUND(k, 6) AS gkey
         FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 50
     """
+    # curriculum_order: grid-histogram quantile phases over the quality
+    # score (phase 1 = cleanest), then ONE global window replaying the
+    # (phase, md5, key) total order the engine builds via phase-digit +
+    # hash-prefix buckets
+    o["curriculum_order"] = """
+        WITH q AS (
+          SELECT doc_id,
+            len(string_split(text, ' ')) AS n_words,
+            length(text) AS n_chars_t,
+            ROUND(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0
+                  / length(text), 6) AS noise
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id,
+            ROUND(least(n_words / 20.0, 1.0) * 0.4
+              + (CASE WHEN n_chars_t * 1.0 / n_words >= 3
+                       AND n_chars_t * 1.0 / n_words <= 12
+                      THEN 1.0 ELSE 0.5 END) * 0.4
+              + (1 - least(noise * 5, 1.0)) * 0.2, 6) AS qual
+          FROM q
+        ),
+        cells AS (
+          SELECT doc_id, CAST(floor(qual / 0.01) AS BIGINT) AS cell FROM sc
+        ),
+        hist AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY 1),
+        cum AS (
+          SELECT cell, n,
+            SUM(n) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS c,
+            SUM(n) OVER () AS tot
+          FROM hist
+        ),
+        bk AS (
+          SELECT cell, CAST(1 + ((c - n) * 3 // tot) AS INT) AS qb FROM cum
+        ),
+        ph AS (
+          SELECT cells.doc_id, CAST(4 - bk.qb AS INT) AS phase
+          FROM cells JOIN bk USING (cell)
+        )
+        SELECT doc_id, phase,
+          CAST(row_number() OVER (
+            ORDER BY phase,
+                     md5('curr-0:' || CAST(doc_id AS VARCHAR)),
+                     doc_id
+          ) - 1 AS BIGINT) AS curriculum_pos
+        FROM ph ORDER BY doc_id
+    """
     o["mix_suite"] = _osuite_sql([
         ("source_mix_sample", o.pop("source_mix_sample"), ["source"],
          ["mix_rate", "n_sampled", "sum_ids"], set()),
@@ -4247,6 +4371,8 @@ def oracle_sql() -> dict[str, str]:
          ["t_rate", "n_sampled", "sum_ids"], set()),
         ("dsir_select", o.pop("dsir_select"), ["doc_id"],
          ["weight", "gkey"], set()),
+        ("curriculum_order", o.pop("curriculum_order"), ["doc_id"],
+         ["phase", "curriculum_pos"], set()),
     ])
     return o
 
@@ -5698,6 +5824,12 @@ def q_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_dsir_select(spark, sf_dir),
             ["doc_id"],
             ["weight", "gkey"],
+        ),
+        _suite_unpivot(
+            "curriculum_order",
+            q_curriculum_order(spark, sf_dir),
+            ["doc_id"],
+            ["phase", "curriculum_pos"],
         ),
     ]
     return _suite_union(subs)

@@ -1293,3 +1293,99 @@ class TestFuzzyDedupCorpus:
         }
         # every multi-doc component matches dedup_groups exactly
         assert {c for c in comp if c[2] > 1} == {c for c in mine if c[2] > 1}
+
+
+class TestCurriculumOrder:
+    def test_order_and_phases_match_model(self, spark):
+        import hashlib
+
+        from txtlogparser_spark.operators.sampling import curriculum_order
+
+        rows = [(i, float(s)) for i, s in enumerate(
+            [0.9, 0.1, 0.5, 0.95, 0.2, 0.55, 0.91, 0.15, 0.52]
+        )]
+        df = spark.createDataFrame(rows, ["doc_id", "score"])
+        got = {
+            r["doc_id"]: (r["phase"], r["curriculum_pos"])
+            for r in curriculum_order(df, "score", n_phases=3).collect()
+        }
+        # model: grid cells -> ntile-by-first-rank buckets -> phase
+        import math
+        cells = {i: math.floor(s / 0.01) for i, s in rows}
+        hist = {}
+        for c in cells.values():
+            hist[c] = hist.get(c, 0) + 1
+        tot = len(rows)
+        cum, bk = 0, {}
+        for c in sorted(hist):
+            bk[c] = 1 + (cum * 3) // tot
+            cum += hist[c]
+        phase = {i: 3 + 1 - bk[cells[i]] for i, _ in rows}
+        order = sorted(
+            (ph, hashlib.md5(f"curr-0:{i}".encode()).hexdigest(), i)
+            for i, ph in phase.items()
+        )
+        want = {
+            i: (phase[i], pos) for pos, (_p, _h, i) in enumerate(order)
+        }
+        assert got == want
+
+    def test_highest_scores_phase_one(self, spark):
+        from txtlogparser_spark.operators.sampling import curriculum_order
+
+        rows = [(i, 0.1 + 0.2 * (i % 3)) for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "score"])
+        out = curriculum_order(df, "score", n_phases=3).collect()
+        by_phase = {}
+        for r in out:
+            by_phase.setdefault(r["phase"], []).append(r)
+        # phase 1 holds the top-score stratum, and positions are
+        # contiguous blocks phase by phase
+        s1 = {r["doc_id"] % 3 for r in by_phase[1]}
+        assert s1 == {2}
+        assert max(r["curriculum_pos"] for r in by_phase[1]) < min(
+            r["curriculum_pos"] for r in by_phase[2]
+        )
+        assert sorted(r["curriculum_pos"] for r in out) == list(range(30))
+
+    def test_no_fact_table_single_partition(self, spark):
+        """Every SinglePartition exchange in the plan must be a
+        width-bounded dim funnel (child aggregate keyed on a `_bkt`
+        convention column — the grid-histogram cells and the bucket
+        offsets) or a keyless scalar, never fact rows (the
+        explain_audit killer/benign classification)."""
+        import re
+
+        from txtlogparser_spark.operators.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7) / 10) for i in range(100)],
+            ["doc_id", "score"],
+        )
+        plan = (
+            curriculum_order(df, "score")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert re.search(
+                r"Aggregate\(key(s)?=\[\]", nxt
+            ) or re.search(
+                r"Aggregate\(key(s)?=\[[^\]]*(_pb|_bkt)#", nxt
+            ), f"fact-table one-task funnel:\n{ln}\n{nxt}"
+
+    def test_validates_n_phases(self, spark):
+        import pytest as _pytest
+
+        from txtlogparser_spark.operators.sampling import curriculum_order
+
+        df = spark.createDataFrame([(1, 0.5)], ["doc_id", "score"])
+        with _pytest.raises(ValueError):
+            curriculum_order(df, "score", n_phases=1)
+        with _pytest.raises(ValueError):
+            curriculum_order(df, "score", n_phases=10)

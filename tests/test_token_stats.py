@@ -599,3 +599,57 @@ class TestPmiCollocations:
         )
         got = {(r["a"], r["b"]): r["c"] for r in pair_frequency(df).collect()}
         assert got == {(2, 1): 1}
+
+
+class TestVocabOverlap:
+    ROWS = [
+        ("s0", [1, 2, 3, 1]),
+        ("s0", [4]),
+        ("s1", [2, 3, 5]),
+        ("s2", [9]),          # disjoint from s0/s1
+        ("s3", []),           # empty vocab: appears in no pair
+    ]
+
+    def _frame(self, spark):
+        return spark.createDataFrame(self.ROWS, ["source", "tokens"])
+
+    def test_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import vocab_overlap
+
+        got = {
+            (r["src_a"], r["src_b"]): (
+                r["n_common"], r["n_a"], r["n_b"], r["jaccard"]
+            )
+            for r in vocab_overlap(self._frame(spark)).collect()
+        }
+        # s0={1,2,3,4} s1={2,3,5}: common {2,3} — jacc 2/5
+        assert got == {("s0", "s1"): (2, 4, 3, 0.4)}
+
+    def test_pair_join_runs_over_vocab_dim(self, spark):
+        """The self-join must consume the DISTINCT (group, token) dim:
+        an aggregate sits below the join on both sides, so a 10^9-copy
+        token joins once, not 10^18 times."""
+        from txtlogparser_spark.operators.token_stats import vocab_overlap
+
+        plan = (
+            vocab_overlap(self._frame(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        join_at = plan.find("Join")
+        assert join_at != -1
+        assert plan[join_at:].count("HashAggregate") >= 2, (
+            "self-join inputs are not deduplicated vocab dims"
+        )
+
+    def test_null_tokens_ignored(self, spark):
+        from txtlogparser_spark.operators.token_stats import vocab_overlap
+
+        df = spark.createDataFrame(
+            [("a", [1, None]), ("b", [None, 1])],
+            "source string, tokens array<int>",
+        )
+        got = vocab_overlap(df).collect()
+        assert len(got) == 1 and got[0]["n_common"] == 1
+        assert got[0]["n_a"] == 1 and got[0]["n_b"] == 1

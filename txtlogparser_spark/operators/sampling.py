@@ -392,7 +392,12 @@ def quantile_buckets(
     a per-(group, cell) HISTOGRAM: one map-side-combined groupBy into a
     dim of |groups|x|occupied cells| rows, a window over that tiny dim,
     and a broadcast join back. The fact table is touched by exactly one
-    extra map-side join — no per-group sort, no hot-group task.
+    extra map-side join — no per-group sort, no hot-group task. The
+    cell column carries the `_bkt` audit convention (tools/
+    explain_audit.py): its cumsum window funnels one row per OCCUPIED
+    GRID CELL (≤ score-range/grid, e.g. 101 for a [0,1] score at
+    grid 0.01) through a single task — width-bounded metadata, never
+    fact rows, at any corpus size.
 
     Bucket rule (ntile-by-first-rank): every row of a cell takes the
     bucket of the cell's FIRST row in score order — bucket = 1 +
@@ -408,18 +413,18 @@ def quantile_buckets(
     from pyspark.sql import Window
 
     keys = [group_col] if group_col else []
-    cell = F.floor(F.col(score_col) / F.lit(grid)).cast("long").alias("_qcell")
-    hist = df.select(*keys, cell).groupBy(*keys, "_qcell").agg(
+    cell = F.floor(F.col(score_col) / F.lit(grid)).cast("long").alias("_qcell_bkt")
+    hist = df.select(*keys, cell).groupBy(*keys, "_qcell_bkt").agg(
         F.count(F.lit(1)).alias("_qn")
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_qcell")
+        .orderBy("_qcell_bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.select(
         *keys,
-        "_qcell",
+        "_qcell_bkt",
         "_qn",
         F.sum("_qn").over(w).alias("_qcum"),
         F.sum("_qn").over(Window.partitionBy(*keys)).alias("_qtot"),
@@ -428,17 +433,17 @@ def quantile_buckets(
     # integer can round UP in double and flip the bucket at a boundary
     buckets = cum.select(
         *keys,
-        "_qcell",
+        "_qcell_bkt",
         (
             F.lit(1)
             + F.expr(f"(_qcum - _qn) * {int(n_buckets)} DIV _qtot").cast("int")
         ).alias(out),
     )
-    join_keys = [*keys, "_qcell"]
+    join_keys = [*keys, "_qcell_bkt"]
     return (
-        df.withColumn("_qcell", F.floor(F.col(score_col) / F.lit(grid)).cast("long"))
+        df.withColumn("_qcell_bkt", F.floor(F.col(score_col) / F.lit(grid)).cast("long"))
         .join(F.broadcast(buckets), join_keys)
-        .drop("_qcell")
+        .drop("_qcell_bkt")
     )
 
 
@@ -536,4 +541,60 @@ def temperature_mix(
     return (
         df.join(F.broadcast(rates), part_col)
         .where(hash_bucket_hex(F.col(key), salt) < thr)
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_phases: int = 3,
+    seed: str = "curr-0",
+    key: str = "doc_id",
+    out: str = "curriculum_pos",
+    bucket_hex: int = 2,
+    grid: float = 0.01,
+) -> DataFrame:
+    """Quality-curriculum training order: stratify the corpus into
+    `n_phases` quantile phases by `score_col` (phase 1 = HIGHEST
+    scores — train on the cleanest stratum first, the standard
+    quality-curriculum recipe), then shuffle deterministically WITHIN
+    each phase. Appends `phase` (1..n_phases) and `out` (0-based
+    global position following the total order (phase ASC,
+    md5(seed ':' key), key)).
+
+    Scale shape — the composition of two already-skew-proof pieces:
+    `quantile_buckets` assigns phases from a grid-histogram dim (no
+    per-group sort), and the global index reuses `epoch_shuffle`'s
+    decomposition — the order bucket is the phase digit concatenated
+    with a hash PREFIX, so the 16^bucket_hex·n_phases buckets sort
+    consistently with the global order and the index is a per-bucket
+    parallel row_number plus broadcast offsets. No single-partition
+    sort at any size; a phase is never one task.
+
+    DuckDB-replayable: row_number() OVER (ORDER BY phase,
+    md5(seed||':'||key), key) - 1 produces the identical order."""
+    from txtlogparser_spark.operators.windowing import with_global_index
+
+    if not 2 <= n_phases <= 9:
+        # the order bucket leads with the phase as ONE character so the
+        # bucket string sorts (phase, hash-prefix) lexicographically
+        raise ValueError(f"n_phases must be in 2..9, got {n_phases}")
+    staged = quantile_buckets(
+        df, score_col, n_buckets=n_phases, grid=grid, out="_qb"
+    ).withColumn(
+        "phase", (F.lit(n_phases + 1) - F.col("_qb")).cast("int")
+    )
+    sk = F.md5(F.concat(F.lit(seed + ":"), F.col(key).cast("string")))
+    keyed = staged.withColumn("_sk", sk).withColumn(
+        "_bkt",
+        F.concat(
+            F.col("phase").cast("string"),
+            F.lit("|"),
+            F.substring("_sk", 1, int(bucket_hex)),
+        ),
+    )
+    return (
+        with_global_index(keyed, "_bkt", ["_sk", key], out=out)
+        .drop("_sk", "_bkt", "_qb")
     )

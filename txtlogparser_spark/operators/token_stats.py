@@ -534,3 +534,60 @@ def pmi_collocations(
             uni.unpersist()
     finally:
         bi.unpersist()
+
+
+def vocab_overlap(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups — the cross-source
+    contamination/redundancy audit (two mirrors of the same site, or a
+    source that is a filtered copy of another, show up as a Jaccard
+    near 1 long before document-level dedup finds the pairs):
+
+      (src_a, src_b, n_common, n_a, n_b, jaccard)   for src_a < src_b
+
+    with jaccard = |Va ∩ Vb| / |Va ∪ Vb| over DISTINCT token ids.
+
+    Scale shape: the distinct (group, token) VOCAB dim is one
+    map-side-combined aggregate (a 10^9-copy token collapses per map
+    partition before the shuffle); the pair counts come from the dim's
+    self-equi-join on token — |vocab|·G²-bounded, never corpus-sized —
+    and the two size lookups are broadcast dim joins. All counts exact
+    integers; jaccard is one IEEE division rounded at the end."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = vocab.select(F.col("_g").alias("src_a"), "token")
+    b = vocab.select(F.col("_g").alias("src_b"), "token")
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
