@@ -3780,6 +3780,8 @@ def oracle_sql() -> dict[str, str]:
          ["clf_score", "clf_score_keep"], {"clf_score_keep"}),
         ("text_normalize", o.pop("text_normalize"), ["doc_id", "norm_md5"],
          ["changed", "n_before", "n_after"], {"changed"}),
+        ("threshold_sweep", _threshold_sweep_oracle_sql(), ["threshold"],
+         ["n_keep", "keep_rate"], set()),
     ])
     o["log_nav_suite"] = _osuite_sql([
         ("log_nav_next", o.pop("log_nav_next"), ["filter_id"],
@@ -3807,6 +3809,33 @@ def oracle_sql() -> dict[str, str]:
          ["true_distinct", "est_hll", "occupied"], set()),
     ])
     # (lm_suite folds below, after lm_perplexity/ppl_tail_split are built)
+    # contamination_matrix: the decontaminate_eval shingle replay rolled
+    # up to (source, pseudo-task) cells
+    o["contamination_matrix"] = """
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+                   FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                      for i in range(1, len(words) - 1)]) AS shingle
+            FROM w)
+        ),
+        ev AS (
+          SELECT DISTINCT 'task' || CAST(doc_id % 3 AS VARCHAR) AS task,
+            shingle
+          FROM sh WHERE doc_id % 97 = 0
+        ),
+        hits AS (
+          SELECT s.source, e.task, s.doc_id
+          FROM sh s JOIN ev e USING (shingle)
+          WHERE s.doc_id % 97 <> 0
+        )
+        SELECT source, task,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_hit_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+        FROM hits GROUP BY 1, 2 ORDER BY 1, 2
+    """
     o["decontam_suite"] = _osuite_sql([
         ("decontaminate_eval", o.pop("decontaminate_eval"),
          ["doc_id", "first_hit"],
@@ -3817,6 +3846,8 @@ def oracle_sql() -> dict[str, str]:
         ("token_decontaminate", o.pop("token_decontaminate"),
          ["doc_id", "first_hit"],
          ["is_contaminated", "n_hit_grams"], {"is_contaminated"}),
+        ("contamination_matrix", o.pop("contamination_matrix"),
+         ["source", "task"], ["n_hit_docs", "n_hit_grams"], set()),
     ])
     o["pack_suite"] = _osuite_sql([
         ("pack_chunks", o.pop("pack_chunks"), ["source", "doc_id"],
@@ -4581,6 +4612,85 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(train, ev, n=3).orderBy("doc_id")
 
 
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source × eval task) contamination matrix (operators/
+    decontaminate.py::contamination_matrix — the slice-level leak
+    report a release audit publishes): eval = every 97th doc split
+    into 3 pseudo-tasks (doc_id % 3), train = the rest; counts are
+    distinct hit docs and distinct (doc, shared gram) pairs per cell.
+    Same broadcast-probe scale shape as decontaminate_eval; the
+    aggregate is bounded by |sources|·|tasks|."""
+    from txtlogparser_spark.operators.decontaminate import (
+        contamination_matrix,
+    )
+
+    d = _docs_part(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0).withColumn(
+        "task",
+        F.concat(F.lit("task"), (F.col("doc_id") % 3).cast("string")),
+    )
+    return contamination_matrix(train, ev, n=3).orderBy("source", "task")
+
+
+_SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold calibration (operators/quality_checks.py::
+    threshold_sweep): keep count + keep rate of `quality >= t` for the
+    candidate cutoffs — ONE scalar aggregate (T+1 exact integers in a
+    single row) unpivoted via stack(); the corpus is read once for the
+    whole sweep. The division is a single IEEE op rounded at the end."""
+    from txtlogparser_spark.functions.text import quality_score
+    from txtlogparser_spark.operators.quality_checks import threshold_sweep
+
+    d = _docs(spark, sf_dir).select(quality_score().alias("_q"))
+    return threshold_sweep(d, "_q", _SWEEP_THRESHOLDS)
+
+
+def _threshold_sweep_oracle_sql() -> str:
+    """DuckDB replay generated from the SAME literal threshold list."""
+    ks = ",\n            ".join(
+        f"CAST(SUM(CASE WHEN qual >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS k{i}"
+        for i, t in enumerate(_SWEEP_THRESHOLDS)
+    )
+    # CAST to DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and the
+    # UNION ALL coerces the column to DECIMAL(3,2), which stringifies
+    # as '0.50' in the suite grp key where Spark's double prints '0.5'
+    parts = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, k{i} AS n_keep,"
+        f" CASE WHEN tot > 0 THEN ROUND(k{i} / tot, 6) END AS keep_rate"
+        f" FROM agg"
+        for i, t in enumerate(_SWEEP_THRESHOLDS)
+    )
+    return f"""
+        WITH q AS (
+          SELECT doc_id,
+            len(string_split(text, ' ')) AS n_words,
+            length(text) AS n_chars_t,
+            ROUND(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0
+                  / length(text), 6) AS noise
+          FROM documents
+        ),
+        sc AS (
+          SELECT ROUND(least(n_words / 20.0, 1.0) * 0.4
+            + (CASE WHEN n_chars_t * 1.0 / n_words >= 3
+                     AND n_chars_t * 1.0 / n_words <= 12
+                    THEN 1.0 ELSE 0.5 END) * 0.4
+            + (1 - least(noise * 5, 1.0)) * 0.2, 6) AS qual
+          FROM q
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tot,
+            {ks}
+          FROM sc
+        )
+        SELECT * FROM ({parts}) ORDER BY threshold
+    """
+
+
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) decontamination (operators/
     decontaminate.py::fuzzy_contamination_flags): eval = every 10th doc
@@ -4668,6 +4778,12 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_token_decontaminate(spark, sf_dir),
             ["doc_id", "first_hit"],
             ["is_contaminated", "n_hit_grams"],
+        ),
+        _suite_unpivot(
+            "contamination_matrix",
+            q_contamination_matrix(spark, sf_dir),
+            ["source", "task"],
+            ["n_hit_docs", "n_hit_grams"],
         ),
     ]
     return _suite_union(subs)
@@ -5445,6 +5561,12 @@ def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_text_normalize(spark, sf_dir),
             ["doc_id", "norm_md5"],
             ["changed", "n_before", "n_after"],
+        ),
+        _suite_unpivot(
+            "threshold_sweep",
+            q_threshold_sweep(spark, sf_dir),
+            ["threshold"],
+            ["n_keep", "keep_rate"],
         ),
     ]
     return _suite_union(subs)

@@ -331,3 +331,59 @@ def decontaminate_fuzzy(
     kt = train_df.schema[key].dataType
     dirty = pairs.select(F.col("train_id").cast(kt).alias(key)).distinct()
     return train_df.join(F.broadcast(dirty), key, "left_anti")
+
+
+def contamination_matrix(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    key: str = "doc_id",
+    text_col: str = "text",
+    train_group: str = "source",
+    eval_group: str = "task",
+    n: int = 8,
+) -> DataFrame:
+    """Per-(training source × eval task) contamination matrix — the
+    report a release audit actually publishes ("which corpus slices
+    leak which benchmarks"), aggregating contamination_flags' per-doc
+    verdicts up to the slice level:
+
+      n_hit_docs   — distinct training docs of the source sharing ≥1
+                     word n-gram with the task
+      n_hit_grams  — distinct (training doc, shared gram) pairs (the
+                     leak volume; each doc's shingles are distinct and
+                     the eval side is deduped per task, so the join's
+                     count(*) is exactly this)
+
+    Scale shape: identical to contamination_flags — the eval side's
+    distinct (task, shingle) set broadcasts, the training side pays
+    one map-side explode+probe, and the aggregate is grouped on
+    (source, task): a dim bounded by |sources|·|tasks|. The
+    count_distinct over doc ids expands to (source, task, doc) partial
+    rows — bounded by the HIT volume, not the corpus (clean docs never
+    leave the probe)."""
+    grams = (
+        eval_df.select(
+            F.col(eval_group).alias("_task"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    hits = train_df.select(
+        F.col(train_group).alias("_grp"),
+        F.col(key).alias("_k"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).join(F.broadcast(grams), "shingle")
+    return (
+        hits.groupBy("_grp", "_task")
+        .agg(
+            F.countDistinct("_k").cast("long").alias("n_hit_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_grams"),
+        )
+        .select(
+            F.col("_grp").alias(train_group),
+            F.col("_task").alias(eval_group),
+            "n_hit_docs",
+            "n_hit_grams",
+        )
+    )

@@ -107,3 +107,45 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             (F.col("violations") == 0).alias("passed"),
         )
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list,
+) -> DataFrame:
+    """Filter-threshold calibration report: for each candidate
+    threshold t, how many rows a `score >= t` gate keeps and the keep
+    rate — the one-pass sweep run before fixing a quality-classifier
+    cutoff (the fastText/CCNet "what does 0.5 cost me" question).
+
+    ONE scalar aggregate computes the total plus every threshold's
+    keep count (T+1 exact integers in a single row — map-side
+    partials, no per-threshold pass), then a stack() unpivot emits the
+    (threshold, n_keep, keep_rate) rows. keep_rate is a single IEEE
+    division rounded at the end; an empty input yields rate NULL
+    (no rows to rate) with n_keep 0."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = [float(t) for t in thresholds]
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_tot"),
+        *[
+            F.sum((F.col(score_col) >= F.lit(t)).cast("long"))
+            .alias(f"_k{i}")
+            for i, t in enumerate(ts)
+        ],
+    )
+    pairs: list = []
+    for i, t in enumerate(ts):
+        pairs += [F.lit(t), F.coalesce(F.col(f"_k{i}"), F.lit(0))]
+    return agg.select(
+        F.col("_tot"),
+        F.stack(F.lit(len(ts)), *pairs).alias("threshold", "n_keep"),
+    ).select(
+        "threshold",
+        F.col("n_keep").cast("long").alias("n_keep"),
+        F.when(
+            F.col("_tot") > 0, F.round(F.col("n_keep") / F.col("_tot"), 6)
+        ).alias("keep_rate"),
+    )
