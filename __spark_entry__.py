@@ -1145,6 +1145,19 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (operators/token_stats.py::ngram_novelty —
+    the memorization-risk metric): fraction of the doc's distinct word
+    3-grams occurring in no other document. Gram doc-frequency dim is
+    map-side combined; the per-doc join shuffles gram volume (the
+    dedup keeper-election class), never all-pairs. n=3 fixture-tuned
+    like decontaminate_eval (production uses 8-13)."""
+    from txtlogparser_spark.operators.token_stats import ngram_novelty
+
+    d = _docs_part(spark, sf_dir)
+    return ngram_novelty(d, n=3).orderBy("doc_id")
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diff.py::corpus_diff — the
     dataset-versioning / incremental-scan audit): a deterministic
@@ -1254,6 +1267,12 @@ def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_vocab_overlap(spark, sf_dir),
             ["src_a", "src_b"],
             ["n_common", "n_a", "n_b", "jaccard"],
+        ),
+        _suite_unpivot(
+            "ngram_novelty",
+            q_ngram_novelty(spark, sf_dir),
+            ["doc_id"],
+            ["n_grams", "n_novel", "novelty"],
         ),
         _suite_unpivot(
             "token_entropy",
@@ -3569,6 +3588,30 @@ def oracle_sql() -> dict[str, str]:
               FROM vover v
               JOIN vsz sa ON sa.source = v.src_a
               JOIN vsz sb ON sb.source = v.src_b
+            ),
+            nvw AS (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents),
+            nvs AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          for i in range(1, len(words) - 1)]) AS shingle
+                FROM nvw)
+            ),
+            nvf AS (SELECT shingle, COUNT(*) AS fdf FROM nvs GROUP BY 1),
+            nv AS (
+              SELECT d.doc_id,
+                CAST(COALESCE(p.ng, 0) AS BIGINT) AS n_grams,
+                CAST(COALESCE(p.nn, 0) AS BIGINT) AS n_novel,
+                CASE WHEN p.ng IS NOT NULL
+                     THEN ROUND(CAST(p.nn AS BIGINT) / p.ng, 6)
+                END AS novelty
+              FROM documents d
+              LEFT JOIN (
+                SELECT s.doc_id, COUNT(*) AS ng,
+                  SUM(CASE WHEN f.fdf = 1 THEN 1 ELSE 0 END) AS nn
+                FROM nvs s JOIN nvf f USING (shingle) GROUP BY 1
+              ) p USING (doc_id)
             )
             SELECT * FROM (
               SELECT 'token_length_stats' AS section, CAST(source AS VARCHAR) AS grp,
@@ -3663,6 +3706,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'vocab_overlap',
                 CAST(src_a AS VARCHAR) || '|' || CAST(src_b AS VARCHAR),
                 'jaccard', CAST(jaccard AS DOUBLE) FROM vj
+              UNION ALL SELECT 'ngram_novelty', CAST(doc_id AS VARCHAR),
+                'n_grams', CAST(n_grams AS DOUBLE) FROM nv
+              UNION ALL SELECT 'ngram_novelty', CAST(doc_id AS VARCHAR),
+                'n_novel', CAST(n_novel AS DOUBLE) FROM nv
+              UNION ALL SELECT 'ngram_novelty', CAST(doc_id AS VARCHAR),
+                'novelty', CAST(novelty AS DOUBLE) FROM nv
             ) ORDER BY section, grp, metric
         """,
         # classifier_quality: exact-integer hashed-weight sum + one exp

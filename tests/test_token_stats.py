@@ -653,3 +653,58 @@ class TestVocabOverlap:
         got = vocab_overlap(df).collect()
         assert len(got) == 1 and got[0]["n_common"] == 1
         assert got[0]["n_a"] == 1 and got[0]["n_b"] == 1
+
+
+class TestNgramNovelty:
+    ROWS = [
+        (0, "a b c d e"),        # grams: abc bcd cde
+        (1, "a b c x y"),        # shares 'a b c' with doc 0
+        (2, "p q r s"),          # all novel
+        (3, "a b"),              # too short for a 3-gram
+    ]
+
+    def test_matches_model(self, spark):
+        from txtlogparser_spark.operators.token_stats import ngram_novelty
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+            for r in ngram_novelty(df, n=3).collect()
+        }
+        from collections import Counter
+
+        def grams(t):
+            ws = t.split()
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+        freq = Counter()
+        for _i, t in self.ROWS:
+            freq.update(grams(t))
+        want = {}
+        for i, t in self.ROWS:
+            g = grams(t)
+            if not g:
+                want[i] = (0, 0, None)
+            else:
+                nov = sum(1 for x in g if freq[x] == 1)
+                want[i] = (len(g), nov, round(nov / len(g), 6))
+        assert got == want
+
+    def test_dfreq_aggregates_map_side(self, spark):
+        """The gram doc-frequency dim must partially aggregate below its
+        exchange — a 10^9-doc boilerplate gram collapses per map
+        partition."""
+        from txtlogparser_spark.operators.token_stats import ngram_novelty
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        plan = (
+            ngram_novelty(df, n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        exch = plan.find("Exchange hashpartitioning(_g")
+        assert exch != -1
+        assert "HashAggregate" in plan[exch:], (
+            "no partial aggregate below the gram-dim exchange"
+        )

@@ -591,3 +591,64 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk / boilerplate
+    signal (a doc whose grams all appear elsewhere is template or
+    near-dup residue; a doc of corpus-unique grams is fresh content):
+
+      n_grams  — the doc's DISTINCT word n-grams
+      n_novel  — those occurring in NO other document (corpus doc-freq 1)
+      novelty  — n_novel / n_grams, round(6); NULL when the doc is too
+                 short to have an n-gram
+
+    Scale shape: `word_shingles` emits distinct shingles per doc; the
+    gram doc-frequency dim is ONE map-side-combined groupBy (a
+    boilerplate gram in 10^9 docs partially aggregates per map
+    partition); the per-doc stats join the doc's grams back to that dim
+    on the gram key — a shuffle bounded by corpus GRAM volume, the same
+    class as the dedup keeper election, never all-pairs. Exact integer
+    counts + one rounded division."""
+    from txtlogparser_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(key).alias("_k"),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    dfreq = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    per = (
+        grams.join(dfreq, "_g")
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(key).alias("_k"))
+        .join(per, "_k", "left")
+        .select(
+            F.col("_k").alias(key),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )
