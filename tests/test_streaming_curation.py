@@ -411,3 +411,59 @@ def test_stream_token_entropy_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("select * from ent_stream").collect()))
     assert got == batch
+
+
+def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
+    """DSIR's trained-model scoring (weight_fp_column over the literal
+    fixed-point ratio array) is a pure map column: the realistic
+    incremental shape — the model trains once on a batch snapshot, the
+    SAME expression scores every arriving micro-batch — must emit
+    exactly the batch weights."""
+    from txtlogparser_spark.operators.dsir import (
+        bucket_counts,
+        logratio_fp,
+        weight_fp_column,
+    )
+
+    d = str(tmp_path / "dsir_docs")
+    words = ["spark", "join", "merge", "table", "scan", "the", "quick"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(3 + i % 5)))
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+
+    raw = spark.read.parquet(d)
+    target = raw.where("doc_id % 3 = 0")
+    B = 16
+    tc = {r["bucket"]: int(r["n"]) for r in
+          bucket_counts(target, n_buckets=B).collect()}
+    rc = {r["bucket"]: int(r["n"]) for r in
+          bucket_counts(raw, n_buckets=B).collect()}
+    qr = logratio_fp(tc, rc, B)
+
+    def score(df):
+        import pyspark.sql.functions as F
+
+        return df.select(
+            "doc_id", weight_fp_column(qr).alias("weight_fp")
+        )
+
+    batch = sorted(map(tuple, score(raw).collect()))
+    assert batch and any(w != 0 for _i, w in batch)
+
+    schema = raw.schema
+    q = (
+        score(spark.readStream.schema(schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from dsir_stream").collect())
+    )
+    assert got == batch

@@ -169,18 +169,37 @@ def dsir_weights(
         ).collect()
     }
     qr = logratio_fp(tc, rc, n_buckets, smoothing)
-    qr_arr = F.array(*[F.lit(int(q)).cast("long") for q in qr])
-    buckets = gram_buckets(text_col, n_buckets, seed, lowercase)
-    wfp = F.aggregate(
-        buckets,
-        F.lit(0).cast("long"),
-        lambda acc, bx: acc + F.element_at(qr_arr, bx + 1),
+    wfp = weight_fp_column(
+        qr, text_col=text_col, seed=seed, lowercase=lowercase
     )
     return raw.select(
         F.col(id_col).alias("doc_id"),
         wfp.alias("weight_fp"),
     ).withColumn(
         "weight", F.round(F.col("weight_fp") / F.lit(FP_SCALE), 6)
+    )
+
+
+def weight_fp_column(
+    qr: list,
+    *,
+    text_col: str = "text",
+    seed: str = "dsir-v1",
+    lowercase: bool = True,
+) -> Column:
+    """The fixed-point importance-weight expression for a TRAINED model
+    (the per-bucket ratio list from logratio_fp): an exact integer fold
+    over the doc's gram buckets — a pure map column, so the same
+    expression scores a batch corpus or a Structured Streaming source
+    of arriving documents unchanged (stream==batch pinned in
+    tests/test_streaming_curation.py)."""
+    n_buckets = len(qr)
+    qr_arr = F.array(*[F.lit(int(q)).cast("long") for q in qr])
+    buckets = gram_buckets(text_col, n_buckets, seed, lowercase)
+    return F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, bx: acc + F.element_at(qr_arr, bx + 1),
     )
 
 
