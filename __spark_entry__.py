@@ -6262,8 +6262,14 @@ def _bm25_oracle_sql() -> str:
     per-term score fractions) matches the engine exactly."""
     terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
     ix = {t: i for i, t in enumerate(terms)}
+
+    def _q(s: str) -> str:
+        # terms/ids land in SQL string literals — escape quotes (the
+        # _merge_expr lesson: a realistic probe term may carry "don't")
+        return str(s).replace("'", "''")
+
     tf_cols = ",\n            ".join(
-        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        f"len(list_filter(ws, x -> x = '{_q(t)}')) AS tf{i}"
         for i, t in enumerate(terms)
     )
     df_cols = ",\n            ".join(
@@ -6292,7 +6298,7 @@ def _bm25_oracle_sql() -> str:
             for t in ts
         )
         selects.append(
-            f"SELECT '{qid}' AS query_id, d.doc_id, {frac} AS s "
+            f"SELECT '{_q(qid)}' AS query_id, d.doc_id, {frac} AS s "
             f"FROM d CROSS JOIN st"
         )
     scored = "\nUNION ALL ".join(selects)

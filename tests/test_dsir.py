@@ -214,3 +214,18 @@ class TestDsirSelect:
         empty = spark.createDataFrame([], "doc_id long, text string")
         got = dsir_select(raw, empty, 2, n_buckets=B).collect()
         assert len(got) == 2
+
+
+def test_null_text_scores_zero_not_null(spark):
+    """A NULL text must weight 0 (like an empty doc), not NULL — a NULL
+    key would sort last and make the doc unselectable while the DuckDB
+    replay (COALESCE 0) could select it."""
+    from txtlogparser_spark.operators.dsir import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, None), (1, "spark join")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "spark")], ["doc_id", "text"])
+    w = {r["doc_id"]: r["weight_fp"] for r in
+         dsir_weights(raw, target, n_buckets=8).collect()}
+    assert w[0] == 0

@@ -135,3 +135,14 @@ class TestBm25:
             bm25_topk(docs, QUERIES, k=0)
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert bm25_topk(empty, QUERIES).collect() == []
+
+
+def test_empty_corpus_keeps_id_type(spark):
+    """The empty-corpus early return must carry id_col's ACTUAL type so
+    both paths union cleanly."""
+    from txtlogparser_spark.operators.retrieval import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_topk(empty, QUERIES)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.collect() == []

@@ -29,6 +29,20 @@ def whitespace_token_count(text_col: str = "text") -> Column:
     return F.size(F.split(F.col(text_col), " "))
 
 
+def doc_words(text_col: str = "text", lowercase: bool = True) -> Column:
+    """THE whitespace word tokenization every cross-engine-parity op
+    shares (lm perplexity, BM25, DSIR, BPE fertility): optional
+    lowercase, Java `\\s+` split with limit=-1 (so '' yields [] — an
+    unlimited split yields [''] and mints a bogus empty word), empty
+    strings filtered. One definition on purpose: DuckDB oracles replay
+    `list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x !=
+    '')`, and a private copy that drifts (a limit omitted, a Unicode
+    tweak) silently breaks stream/batch and Spark/DuckDB agreement for
+    just the ops holding the stale copy."""
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.filter(F.split(t, r"\s+", -1), lambda w: w != "")
+
+
 def regex_token_count(text_col: str = "text", pattern: str = "[A-Za-z0-9]+") -> Column:
     return F.regexp_count(F.col(text_col), F.lit(pattern))
 

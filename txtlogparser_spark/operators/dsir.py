@@ -44,11 +44,6 @@ FP_SCALE = 16777216.0  # 2^24 fixed-point quantization of log-ratios
 _GUMBEL_DEN = 281474976710657.0  # 2^48 + 1: u = (h+1)/den ∈ (0,1)
 
 
-def _words(text_col: str, lowercase: bool) -> Column:
-    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    return F.filter(F.split(t, r"\s+", -1), lambda w: w != "")
-
-
 def _grams(words: Column) -> Column:
     """unigrams ++ adjacent bigrams ('a b'), guarded for <2-word docs
     (sequence(1, 0) would descend)."""
@@ -72,8 +67,10 @@ def gram_buckets(
 ) -> Column:
     """array<int> of hashed-gram bucket ids for a document — the
     feature vector, computed map-side."""
+    from txtlogparser_spark.functions.text import doc_words
+
     return F.transform(
-        _grams(_words(text_col, lowercase)),
+        _grams(doc_words(text_col, lowercase)),
         lambda g: F.pmod(
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(seed + ":"), g)), 1, 7),
@@ -148,6 +145,9 @@ def dsir_weights(
     buckets)."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if smoothing <= 0:
+        # fail BEFORE the two corpus-scan bucket_counts jobs, not after
+        raise ValueError("smoothing must be > 0")
     tc = {
         r["bucket"]: int(r["n"])
         for r in bucket_counts(
@@ -196,10 +196,16 @@ def weight_fp_column(
     n_buckets = len(qr)
     qr_arr = F.array(*[F.lit(int(q)).cast("long") for q in qr])
     buckets = gram_buckets(text_col, n_buckets, seed, lowercase)
-    return F.aggregate(
-        buckets,
+    # coalesce: a NULL text makes the gram array NULL and the fold NULL
+    # — score it 0 like an empty doc (matches the DuckDB oracle's
+    # LEFT JOIN + COALESCE and keeps the Gumbel key selectable)
+    return F.coalesce(
+        F.aggregate(
+            buckets,
+            F.lit(0).cast("long"),
+            lambda acc, bx: acc + F.element_at(qr_arr, bx + 1),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, bx: acc + F.element_at(qr_arr, bx + 1),
     )
 
 

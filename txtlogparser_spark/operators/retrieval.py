@@ -43,11 +43,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
-def _words(text_col: str, lowercase: bool) -> Column:
-    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    return F.filter(F.split(t, r"\s+", -1), lambda w: w != "")
-
-
 def _tf(words: Column, term: str) -> Column:
     return F.size(F.filter(words, lambda w: w == F.lit(term)))
 
@@ -79,7 +74,9 @@ def bm25_topk(
     if not terms:
         raise ValueError("queries contain no terms")
 
-    words = _words(text_col, lowercase)
+    from txtlogparser_spark.functions.text import doc_words
+
+    words = doc_words(text_col, lowercase)
     staged = docs.select(
         F.col(id_col).alias("_id"), words.alias("_ws")
     ).select(
@@ -102,9 +99,14 @@ def bm25_topk(
     ).collect()[0]
     n_docs = int(stats["_n"] or 0)
     if n_docs == 0:
+        # empty-corpus result keeps id_col's ACTUAL type so both paths
+        # return the same schema (a hardcoded long would diverge from a
+        # string-keyed corpus)
         spark = docs.sparkSession
+        id_type = docs.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "query_id string, rank int, doc_id long, score double"
+            [],
+            f"query_id string, rank int, doc_id {id_type}, score double",
         )
     avgdl = int(stats["_sdl"] or 0) / n_docs
     idf = {}

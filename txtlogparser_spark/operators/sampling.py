@@ -580,6 +580,10 @@ def curriculum_order(
         # the order bucket leads with the phase as ONE character so the
         # bucket string sorts (phase, hash-prefix) lexicographically
         raise ValueError(f"n_phases must be in 2..9, got {n_phases}")
+    if not 1 <= int(bucket_hex) <= 8:
+        # bucket_hex=0 would collapse each phase to ONE order bucket —
+        # a whole phase through a single row_number task at scale
+        raise ValueError(f"bucket_hex must be in 1..8, got {bucket_hex}")
     staged = quantile_buckets(
         df, score_col, n_buckets=n_phases, grid=grid, out="_qb"
     ).withColumn(
