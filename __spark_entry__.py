@@ -6342,15 +6342,18 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted to a source sits near 1.1-1.4; a mismatched script or
     boilerplate-heavy source balloons), plus chars-per-piece (the
     compression view of the same signal). Map-only segmentation
-    (bpe_segment's Catalyst fold chain) + ONE map-side-combined groupBy
+    (bpe_segment_pandas — the Arrow rank-priority path, pinned
+    bit-equal to the Catalyst fold in tests/test_bpe_train.py and ~5×
+    faster at corpus scale; the fold chain nests one aggregate per
+    merge and drops out of codegen) + ONE map-side-combined groupBy
     on source; all sums are exact integers, the two ratios are single
     IEEE divisions rounded at the very end — bit-identical in DuckDB's
     chained-replace replay (the bpe_segment oracle machinery). Guarded
     for all-empty-word sources (NULL ratios, no divide-by-zero)."""
-    from txtlogparser_spark.operators.bpe import bpe_segment
+    from txtlogparser_spark.operators.bpe import bpe_segment_pandas
 
     d = _docs(spark, sf_dir)
-    seg = bpe_segment(d, _BPE_MERGES)
+    seg = bpe_segment_pandas(d, _BPE_MERGES)
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+", -1), lambda w: w != ""
     )
