@@ -51,16 +51,31 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> D
 
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct n-gram word shingles of a space-tokenized text column.
-    Pure Catalyst (split/sequence/transform) — no UDF."""
-    w = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + k + 1) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    Pure Catalyst (split/sequence/transform) — no UDF.
+
+    The word array is BOUND AS A LAMBDA VARIABLE via a one-element
+    transform wrapper before the per-position element_at lookups:
+    Catalyst does not CSE a computed expression inside higher-order-
+    function lambdas (the operators/lm.py lesson), so referencing the
+    raw split() there re-runs the full split per element per position —
+    O(n·len²) per document. A lambda-bound variable is evaluated once.
+    Measured at 5k docs/sf0.1: 5.3s → 2.0s (n=3, first plan incl.
+    codegen), 8.2s → 0.9s (n=8);
+    identical values (the dedup/decontam oracles pin them)."""
+
+    def grams(w: Column) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+            ),
+        )
+        return F.when(F.size(w) >= n, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), " ")), grams), 1
     )
 
 
