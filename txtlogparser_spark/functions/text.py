@@ -199,22 +199,44 @@ def top_bigram_fraction(text_col: str = "text") -> Column:
     build the bigram array, count each distinct bigram's occurrences,
     take the max. O(distinct x total) per row — row-local, linear in the
     corpus, no shuffle. Docs under 2 words score 0.0."""
-    w = F.split(F.col(text_col), " ")
-    bg = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
-        ),
+    # Both the word array AND the bigram array are bound as lambda
+    # variables (one-element transform wrappers — the word_shingles
+    # fix): referencing the raw split()/transform() expressions inside
+    # the nested lambdas re-evaluates them per element, turning the
+    # documented O(distinct × total) into O(len³) per document
+    # (measured at 5k docs/sf0.1: 147.9s → sub-second).
+    def over_w(w: Column) -> Column:
+        # the <2-word guard must wrap the ARRAY construction here: the
+        # binding wrapper evaluates it eagerly (as transform's
+        # collection argument), so the outer when() can no longer
+        # short-circuit the descending sequence(0,-1) + out-of-bounds
+        # element_at the original lazy form never executed
+        bgx = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def over_bg(bg: Column) -> Column:
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
+                )
+            )
+            return F.when(
+                F.size(w) >= 2, F.round(top / F.size(bg), 6)
+            ).otherwise(F.lit(0.0))
+
+        return F.element_at(F.transform(F.array(bgx), over_bg), 1)
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), " ")), over_w), 1
     )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b)),
-        )
-    )
-    return F.when(
-        F.size(w) >= 2, F.round(top / F.size(bg), 6)
-    ).otherwise(F.lit(0.0))
 
 
 def is_repetitive(
