@@ -467,3 +467,60 @@ def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("select * from dsir_stream").collect())
     )
     assert got == batch
+
+
+def test_stream_contamination_gate_matches_batch_flags(spark, tmp_path):
+    """The arriving-shard decontamination gate (array_intersect against
+    the collected eval gram list) is a pure map column: it must equal
+    contamination_flags' join-based n_hit_shingles on a batch corpus
+    AND emit the identical counts over a stream of the same docs."""
+    import pyspark.sql.functions as F
+
+    from txtlogparser_spark.operators.decontaminate import (
+        contamination_flags,
+        contamination_gate_column,
+        eval_ngram_set,
+    )
+
+    d = str(tmp_path / "gate_docs")
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(4 + i % 4)))
+        for i in range(120)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d)
+    corpus = spark.read.parquet(d)
+    train = corpus.where("doc_id % 5 != 0")
+    ev = corpus.where("doc_id % 5 = 0")
+    grams = [r["shingle"] for r in eval_ngram_set(ev, n=3).collect()]
+
+    flags = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in contamination_flags(train, ev, n=3).collect()
+    }
+
+    def gate(df):
+        return df.select(
+            "doc_id", contamination_gate_column(grams, n=3).alias("n_hits")
+        )
+
+    batch = {r["doc_id"]: r["n_hits"] for r in gate(train).collect()}
+    assert batch == flags and any(v > 0 for v in batch.values())
+
+    q = (
+        gate(spark.readStream.schema(corpus.schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in spark.sql(
+            "select * from gate_stream where doc_id % 5 != 0"
+        ).collect()
+    }
+    assert got == batch

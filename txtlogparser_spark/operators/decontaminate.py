@@ -387,3 +387,26 @@ def contamination_matrix(
             "n_hit_grams",
         )
     )
+
+
+def contamination_gate_column(
+    eval_grams: list,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+) -> "Column":
+    """Map-only contamination hit count against a COLLECTED eval gram
+    list — the streaming/arriving-shard formulation: the eval set's
+    distinct grams (benchmark-sized, the side contamination_flags
+    already broadcasts) are collected once and compared per doc with
+    array_intersect, so the same expression gates a batch corpus or a
+    Structured Streaming source with zero shuffle and zero state.
+    Equals contamination_flags' n_hit_shingles (both sides distinct;
+    pinned in tests/test_streaming_curation.py). Use the join-based
+    contamination_flags when the eval gram set is too big to collect —
+    the cutover is the same broadcast-size judgment Spark itself makes.
+    """
+    from pyspark.sql import Column  # noqa: F401
+
+    arr = F.array(*[F.lit(g) for g in sorted(set(eval_grams))])
+    return F.size(F.array_intersect(word_shingles(text_col, n), arr))
