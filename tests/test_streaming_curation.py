@@ -524,3 +524,73 @@ def test_stream_contamination_gate_matches_batch_flags(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_lsh_probe_matches_batch(spark, tmp_path):
+    """Incremental fuzzy dedup at arrival time: the corpus LSH index
+    (band_table output) is a STATIC snapshot artifact, and each arriving
+    micro-batch of a document stream is signed and probed against it via
+    foreachBatch (probe_lsh_index aggregates per-doc minhashes, so it
+    cannot run inside an append-mode streaming plan directly — but each
+    new doc's probe depends only on its own text plus the static index,
+    so per-micro-batch probing unions to exactly the batch probe).
+
+    Pins: streaming union over maxFilesPerTrigger=1 micro-batches ==
+    one-shot batch probe_lsh_index over the full shard, candidates
+    present for the planted near-dups and absent for fresh docs."""
+    from txtlogparser_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+        probe_lsh_index,
+        shingle_table,
+    )
+
+    words = [f"tok{i}" for i in range(40)]
+    base_rows = [
+        (f"base{i:03d}", " ".join(words[(i * 7 + j) % len(words)] for j in range(12)))
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id string, text string")
+    idx_path = str(tmp_path / "lsh_index")
+    band_table(minhash_signatures(shingle_table(base))).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # arriving shard: evens are near-dups of base docs (one word changed
+    # at the tail -> most shingles shared), odds are fresh text
+    shard_rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            t = base_rows[i][1].rsplit(" ", 1)[0] + " changed"
+        else:
+            t = " ".join(f"fresh{i}_{j}" for j in range(12))
+        shard_rows.append((f"new{i:03d}", t))
+    shard_dir = str(tmp_path / "shard")
+    spark.createDataFrame(shard_rows, "doc_id string, text string").repartition(
+        4
+    ).write.parquet(shard_dir)
+    shard = spark.read.parquet(shard_dir)
+
+    batch = sorted(map(tuple, probe_lsh_index(index, shard).collect()))
+    hit_new = {a for a, _ in batch}
+    assert any(a.startswith("new0") for a in hit_new)
+    assert all(int(a[3:]) % 2 == 0 for a in hit_new), (
+        "fresh-text docs must not hit the index"
+    )
+
+    out_dir = str(tmp_path / "probe_out")
+
+    def probe_batch(df, _bid):
+        probe_lsh_index(index, df).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shard_dir)
+        .writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert got == batch
