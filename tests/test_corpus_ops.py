@@ -449,6 +449,22 @@ class TestQuotaSample:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "_qthr" in plan
 
+    def test_null_group_is_its_own_quota_group(self, spark):
+        """Review finding: a NULL group value crashed the driver-side
+        sorted(counts.items()) and would have vanished through the
+        equi-join anyway. NULL is a group like any other (matching the
+        exact window's partitionBy semantics)."""
+        from txtlogparser_spark.operators.sampling import quota_sample
+
+        rows = [(i, "a") for i in range(40)] + [(1000 + i, None) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = quota_sample(df, 5).groupBy("source").count().collect()
+        counts = {r["source"]: r["count"] for r in got}
+        assert counts == {"a": 5, None: 5}
+        a = {r["doc_id"] for r in quota_sample(df, 5).collect()}
+        b = {r["doc_id"] for r in quota_sample(df.repartition(7), 5).collect()}
+        assert a == b
+
 
 class TestEpochShuffle:
     def test_permutation_matches_python_model_and_partitioning(self, spark):
@@ -1389,3 +1405,20 @@ class TestCurriculumOrder:
             curriculum_order(df, "score", n_phases=1)
         with _pytest.raises(ValueError):
             curriculum_order(df, "score", n_phases=10)
+
+    def test_null_scores_excluded_up_front_documented(self, spark):
+        """NULL-score rows are excluded by the documented explicit
+        filter, real rows keep the no-NULL ordering (positions stay a
+        contiguous 0..n-1 permutation of scored rows) — not silently
+        dropped deeper in the plan with skewed buckets."""
+        from txtlogparser_spark.operators.sampling import curriculum_order
+
+        rows = [(i, float(i % 5) / 10) for i in range(20)] + [(99, None)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        out = curriculum_order(df, "score", n_phases=3).collect()
+        assert sorted(r["doc_id"] for r in out) == list(range(20))
+        assert sorted(r["curriculum_pos"] for r in out) == list(range(20))
+        clean = curriculum_order(
+            df.where("score is not null"), "score", n_phases=3
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, clean))

@@ -140,3 +140,40 @@ class TestDuckDBParity:
             )
         )
         assert got == want
+
+
+class TestNullHandling:
+    def test_null_score_row_kept_with_null_bucket(self, spark):
+        # review finding: the NULL cell used to (a) vanish through the
+        # equi-join back and (b) sort NULLS-FIRST into the cumulative
+        # window, inflating every real row's prev_cum
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(5)] + [(99, None)],
+            "id long, score double",
+        )
+        got = _rows(quantile_buckets(df, "score", 3, None, 1.0))
+        assert (99, None) in got, "NULL-score row must survive"
+        real = [x for x in got if x[0] != 99]
+        clean = _rows(
+            quantile_buckets(
+                spark.createDataFrame(
+                    [(i, float(i)) for i in range(5)], "id long, score double"
+                ),
+                "score",
+                3,
+                None,
+                1.0,
+            )
+        )
+        assert real == clean, "NULL scores must not skew real buckets"
+
+    def test_null_group_value_is_its_own_group(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(6)]
+            + [(100 + i, None, float(i)) for i in range(6)],
+            "id long, grp string, score double",
+        )
+        got = dict(_rows(quantile_buckets(df, "score", 3, "grp", 1.0)))
+        # both groups independently split into thirds
+        for base in (0, 100):
+            assert [got[base + i] for i in range(6)] == [1, 1, 2, 2, 3, 3]

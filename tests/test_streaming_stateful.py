@@ -381,3 +381,74 @@ def test_watermarked_route_counts(spark, tmp_path):
     assert (202, 1) in finalized, got
     # the +6h window is not finalized yet → absent
     assert all(r["window_start"] != ts(6 * 3600) for r in got)
+
+
+def test_fold_out_of_order_straggler_is_separate_session():
+    """Review finding (confirmed): an event arriving more than a gap
+    BEFORE the running session's start used to MERGE into it (the
+    `t - cur.end > gap` test is negative for past events), stretching
+    the session over the hole. The interval-merge fold emits it as its
+    own closed session instead."""
+    import pandas as pd
+
+    from txtlogparser_spark.streaming.stateful import _fold_gap_sessions
+
+    gap_us = 1_000_000  # 1 s
+    closed = []
+    # batch 1: one event at t=10000 s
+    cur = _fold_gap_sessions(
+        iter([pd.DataFrame({"ts": pd.to_datetime([10_000], unit="s"), "value": [1.0]})]),
+        None,
+        gap_us,
+        closed.append,
+    )
+    assert cur == [10_000_000_000, 10_000_000_000, 1, 1.0] and not closed
+    # batch 2: ancient stragglers at t=0 and t=0.5 s (within one gap of
+    # each other -> ONE session), far beyond the gap before cur
+    cur = _fold_gap_sessions(
+        iter(
+            [
+                pd.DataFrame(
+                    {"ts": pd.to_datetime([500_000, 0], unit="us"), "value": [2.0, 3.0]}
+                )
+            ]
+        ),
+        cur,
+        gap_us,
+        closed.append,
+    )
+    assert closed == [(0, 500_000, 2, 5.0)], "stragglers form their own closed session"
+    assert cur == [10_000_000_000, 10_000_000_000, 1, 1.0], (
+        "running session boundaries must be untouched"
+    )
+
+
+def test_fold_bridging_event_coalesces_sessions():
+    """An event landing between two in-batch sessions within one gap of
+    both must produce ONE merged session, counted once."""
+    import pandas as pd
+
+    from txtlogparser_spark.streaming.stateful import _fold_gap_sessions
+
+    gap_us = 1_000_000
+    closed = []
+    # cur session at [0, 0]; batch delivers t=2.0s (new session: 2.0s is
+    # beyond gap of 0) then t=1.0s arrives in the SAME batch sorted
+    # between them, within one gap of both -> all three coalesce
+    cur = _fold_gap_sessions(
+        iter(
+            [
+                pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime([2_000_000, 1_000_000], unit="us"),
+                        "value": [1.0, 1.0],
+                    }
+                )
+            ]
+        ),
+        [0, 0, 1, 1.0],
+        gap_us,
+        closed.append,
+    )
+    assert not closed
+    assert cur == [0, 2_000_000, 3, 3.0]

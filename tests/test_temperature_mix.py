@@ -163,3 +163,42 @@ class TestDuckDBParity:
             ).fetchall()
         ]
         assert got == oracle
+
+
+class TestZeroMassGroups:
+    def test_zero_weight_group_gets_rate_zero_not_divide_by_zero(self, spark):
+        # review finding: a group whose weight_col sums to 0 (or NULL)
+        # aborted the job with ANSI DIVIDE_BY_ZERO at the rate expression
+        rows = [(i, "live", 10.0) for i in range(50)] + [
+            (100 + i, "dead", 0.0) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+        out = temperature_mix(
+            df, alpha=0.5, weight_col="w", target_rows=25
+        ).collect()
+        assert out, "live group must still be sampled"
+        assert all(r["source"] == "live" for r in out), (
+            "zero-mass group must be rate-0, not crash or leak rows"
+        )
+
+    def test_all_null_weight_group(self, spark):
+        rows = [(i, "live", 10.0) for i in range(50)] + [
+            (100 + i, "nullw", None) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+        out = temperature_mix(df, alpha=1.0, weight_col="w").collect()
+        assert all(r["source"] == "live" for r in out)
+
+
+class TestNullSourceGroup:
+    def test_null_source_is_a_group_of_its_own(self, spark):
+        # second review pass: NULL-source rows used to vanish through
+        # the equi-join while their mass still deflated every real
+        # group's rate through the normalizer
+        rows = [(i, "live") for i in range(50)] + [(100 + i, None) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mix(df, alpha=1.0).collect()
+        # alpha=1, target=input count -> natural distribution, every
+        # group's rate is exactly 1.0: ALL rows survive
+        assert len(out) == 100
+        assert sum(1 for r in out if r["source"] is None) == 50

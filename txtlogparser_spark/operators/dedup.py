@@ -256,6 +256,14 @@ def ngram_jaccard_pairs(
         # fresh at sf0.1) — so materialize eagerly, like building a
         # broadcast dim. The candidate list is the natural pipeline
         # barrier in a production dedup pass anyway.
+        # Cache lifetime: no unpersist is possible inside this function
+        # (the returned plan still reads both caches), and persisted
+        # DataFrames are held STRONGLY by the session's CacheManager —
+        # they are NOT reclaimed when the Python objects are collected.
+        # A long-lived session looping over many shards must release
+        # them itself after consuming each result: unpersist the
+        # `candidates` frame it passed in, and/or
+        # spark.catalog.clearCache() between shards.
         candidates = candidates.persist()
         candidates.count()
         cand_docs = candidates.select(

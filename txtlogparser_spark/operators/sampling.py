@@ -113,7 +113,13 @@ def quota_sample(
 
     The selected SET is identical to the naive window (same hash, same
     order) — re-runs, different cluster sizes, and the DuckDB oracle
-    all pick the same rows."""
+    all pick the same rows.
+
+    A NULL group value is a group of its own (matching what the exact
+    window's partitionBy does): the dim join is null-safe and the
+    driver-side dicts sort None first, so NULL-source rows are sampled
+    to the same quota instead of crashing the driver sort or silently
+    vanishing through an equi-join."""
     from pyspark.sql import Window
 
     n = int(n_per_group)
@@ -131,14 +137,18 @@ def quota_sample(
         dim = spark.createDataFrame(
             [
                 (s, rate_threshold_hex(min(1.0, m * n / c)))
-                for s, c in sorted(counts.items())
+                for s, c in sorted(
+                    counts.items(), key=lambda kv: (kv[0] is not None, kv[0])
+                )
             ],
-            f"{part_col} string, _qthr string",
+            "_qgrp string, _qthr string",
         )
         cand = (
-            keyed.join(F.broadcast(dim), part_col)
+            keyed.join(
+                F.broadcast(dim), F.col(part_col).eqNullSafe(F.col("_qgrp"))
+            )
             .where(F.col("_qh") < F.col("_qthr"))
-            .drop("_qthr")
+            .drop("_qthr", "_qgrp")
             .persist()
         )
         got = {r[0]: int(r[1]) for r in cand.groupBy(part_col).count().collect()}
@@ -414,8 +424,17 @@ def quantile_buckets(
 
     keys = [group_col] if group_col else []
     cell = F.floor(F.col(score_col) / F.lit(grid)).cast("long").alias("_qcell_bkt")
-    hist = df.select(*keys, cell).groupBy(*keys, "_qcell_bkt").agg(
-        F.count(F.lit(1)).alias("_qn")
+    # NULL scores are EXCLUDED from the histogram (they would sort
+    # NULLS-FIRST into the cumulative window and inflate every real
+    # cell's prev_cum) and the join back is a null-safe LEFT join, so a
+    # NULL-score row survives with a NULL bucket instead of silently
+    # vanishing through an equi-join; quantiles are over scored rows.
+    # A NULL group VALUE is a group of its own (eqNullSafe on the keys).
+    hist = (
+        df.where(F.col(score_col).isNotNull())
+        .select(*keys, cell)
+        .groupBy(*keys, "_qcell_bkt")
+        .agg(F.count(F.lit(1)).alias("_qn"))
     )
     w = (
         Window.partitionBy(*keys)
@@ -439,11 +458,18 @@ def quantile_buckets(
             + F.expr(f"(_qcum - _qn) * {int(n_buckets)} DIV _qtot").cast("int")
         ).alias(out),
     )
-    join_keys = [*keys, "_qcell_bkt"]
+    dim = buckets
+    for k in [*keys, "_qcell_bkt"]:
+        dim = dim.withColumnRenamed(k, f"_qd_{k}")
+    cond = F.col("_qcell_bkt").eqNullSafe(F.col("_qd__qcell_bkt"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_qd_{k}"))
     return (
-        df.withColumn("_qcell_bkt", F.floor(F.col(score_col) / F.lit(grid)).cast("long"))
-        .join(F.broadcast(buckets), join_keys)
-        .drop("_qcell_bkt")
+        df.withColumn(
+            "_qcell_bkt", F.floor(F.col(score_col) / F.lit(grid)).cast("long")
+        )
+        .join(F.broadcast(dim), cond, "left")
+        .drop("_qcell_bkt", *[f"_qd_{k}" for k in [*keys, "_qcell_bkt"]])
     )
 
 
@@ -525,10 +551,19 @@ def temperature_mix(
         .crossJoin(F.broadcast(tgt))
         .select(
             part_col,
-            F.least(
-                F.lit(1.0),
-                F.col("_t") * _powa(F.col("_n")) / F.col("_z") / F.col("_n"),
-            ).alias("t_rate"),
+            # rate 0 for zero/NULL-mass groups (an all-NULL or all-zero
+            # weight_col group) instead of an ANSI DIVIDE_BY_ZERO abort;
+            # _z > 0 additionally guards the degenerate corpus where
+            # every group's n^alpha quantizes to 0
+            F.when(
+                (F.col("_n") > 0) & (F.col("_z") > 0),
+                F.least(
+                    F.lit(1.0),
+                    F.col("_t") * _powa(F.col("_n")) / F.col("_z") / F.col("_n"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("t_rate"),
         )
     )
     thr = F.lower(
@@ -538,9 +573,14 @@ def temperature_mix(
             "0",
         )
     )
+    # null-safe rate join: a NULL group value is a group of its own (its
+    # mass is already in the normalizer via groupBy, so an equi-join
+    # here would both DROP its rows and deflate every real group's rate)
+    rdim = rates.withColumnRenamed(part_col, "_tgrp")
     return (
-        df.join(F.broadcast(rates), part_col)
+        df.join(F.broadcast(rdim), F.col(part_col).eqNullSafe(F.col("_tgrp")))
         .where(hash_bucket_hex(F.col(key), salt) < thr)
+        .drop("_tgrp")
     )
 
 
@@ -573,7 +613,13 @@ def curriculum_order(
     sort at any size; a phase is never one task.
 
     DuckDB-replayable: row_number() OVER (ORDER BY phase,
-    md5(seed||':'||key), key) - 1 produces the identical order."""
+    md5(seed||':'||key), key) - 1 produces the identical order.
+
+    Rows with a NULL `score_col` are EXCLUDED (explicitly, up front): a
+    curriculum position requires a phase, and a phase requires a score.
+    Score the corpus first (or coalesce a default) to order every row —
+    silently relying on downstream join drops is exactly the bug class
+    this filter replaces."""
     from txtlogparser_spark.operators.windowing import with_global_index
 
     if not 2 <= n_phases <= 9:
@@ -585,7 +631,11 @@ def curriculum_order(
         # a whole phase through a single row_number task at scale
         raise ValueError(f"bucket_hex must be in 1..8, got {bucket_hex}")
     staged = quantile_buckets(
-        df, score_col, n_buckets=n_phases, grid=grid, out="_qb"
+        df.where(F.col(score_col).isNotNull()),
+        score_col,
+        n_buckets=n_phases,
+        grid=grid,
+        out="_qb",
     ).withColumn(
         "phase", (F.lit(n_phases + 1) - F.col("_qb")).cast("int")
     )

@@ -114,12 +114,23 @@ def _fold_gap_sessions(pdfs, cur, gap_us, on_close):
     (legacy applyInPandasWithState and the transformWithState port),
     extracted so the semantics cannot diverge: materialize+sort the
     micro-batch ONCE per key (chunk order is not time order), convert
-    pandas datetime64[ns] to epoch-us, then fold each event into the
-    running [start, end, n, value_sum] session. Events a later batch
-    delivers late (inside the gap window but before session_end) must
-    not move boundaries backwards — hence the min/max guards. Calls
-    on_close(session_tuple) for every gap-closed session; returns the
-    updated running session (or None)."""
+    pandas datetime64[ns] to epoch-us, then INTERVAL-MERGE the batch's
+    events with the running [start, end, n, value_sum] session.
+
+    The merge handles arbitrary cross-batch disorder: events are folded
+    into gap-separated sessions (linear — the batch is sorted), the
+    running session is merged into that list wherever it belongs (two
+    sessions within `gap_us` coalesce, so a bridging event joins its
+    neighbors), and every session EXCEPT the chronologically last is
+    closed via on_close. A naive `t - cur.end > gap` running fold would
+    instead MERGE an event arriving more than a gap BEFORE the session
+    start (the test is negative) and silently stretch the session over
+    the hole. The one-open-session state bound is kept, so a straggler
+    older than the running session gets exactly one batch of merge
+    tolerance before its session closes — the documented trade of the
+    watermark-less state API (sessionize_native + watermark is the path
+    with full event-time lateness semantics). Returns the updated
+    running session (or None)."""
     parts = [pdf for pdf in pdfs if not pdf.empty]
     if not parts:
         return cur
@@ -127,18 +138,24 @@ def _fold_gap_sessions(pdfs, cur, gap_us, on_close):
     pdf = pdf.sort_values("ts", kind="mergesort")
     ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
     vals = pdf["value"].to_numpy()
-    for t, v in zip(ts_us, vals):
-        if cur is None:
-            cur = [int(t), int(t), 1, float(v)]
-        elif t - cur[1] > gap_us:
-            on_close(tuple(cur))
-            cur = [int(t), int(t), 1, float(v)]
+    # one sorted gap-merge pass over event singletons + the running
+    # session IS the full transitive interval merge (fuzz-verified
+    # against a brute-force reference in review)
+    sessions = [[int(t), int(t), 1, float(v)] for t, v in zip(ts_us, vals)]
+    if cur is not None:
+        sessions.append(list(cur))
+    sessions.sort(key=lambda s: s[0])
+    merged = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], s[1])
+            merged[-1][2] += s[2]
+            merged[-1][3] += s[3]
         else:
-            cur[0] = min(cur[0], int(t))
-            cur[1] = max(cur[1], int(t))
-            cur[2] += 1
-            cur[3] += float(v)
-    return cur
+            merged.append(s)
+    for s in merged[:-1]:
+        on_close(tuple(s))
+    return merged[-1] if merged else None
 
 
 

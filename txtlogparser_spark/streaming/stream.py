@@ -61,30 +61,7 @@ class StreamingLogPipeline:
         parity mode); continuous mode runs until stopped.
         """
         os.makedirs(out_dir, exist_ok=True)
-        routed_sink = os.path.join(out_dir, "routed")
-        metrics_sink = os.path.join(out_dir, "filter_metrics_partial")
-
-        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            routed = self.pipe.routed(
-                self.pipe.enriched(self.pipe.parsed(batch_df)), with_search=True
-            ).persist()
-            try:
-                (
-                    routed.drop("filter_spans", "search_spans")
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("append")
-                    .parquet(routed_sink)
-                )
-                (
-                    self.pipe.filter_counts(routed)
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("append")
-                    .parquet(metrics_sink)
-                )
-            finally:
-                routed.unpersist()
+        process_batch = self.batch_writer(out_dir)
 
         stream = self.read_stream(in_path)
         writer = (
@@ -98,6 +75,47 @@ class StreamingLogPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def batch_writer(self, out_dir: str):
+        """The foreachBatch function `start` installs — exposed so the
+        at-least-once replay contract (same batch_id rewrites, never
+        duplicates) is directly testable."""
+        routed_sink = os.path.join(out_dir, "routed")
+        metrics_sink = os.path.join(out_dir, "filter_metrics_partial")
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # foreachBatch is at-least-once: a failure between the two
+            # writes (or after either committed) replays the SAME
+            # batch_id on restart. Both sinks are therefore partitioned
+            # by batch_id and written with DYNAMIC partition overwrite —
+            # a replay rewrites exactly its own batch_id=N partition
+            # instead of appending a duplicate, so routed rows are never
+            # doubled and filter_totals' partial sums stay exact without
+            # any read-time dedup.
+            if batch_df.isEmpty():
+                return
+            routed = self.routed_stream(batch_df).persist()
+            try:
+                (
+                    routed.drop("filter_spans", "search_spans")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(routed_sink)
+                )
+                (
+                    self.pipe.filter_counts(routed)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(metrics_sink)
+                )
+            finally:
+                routed.unpersist()
+
+        return process_batch
 
     @staticmethod
     def filter_totals(spark: SparkSession, out_dir: str) -> DataFrame:
