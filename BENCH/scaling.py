@@ -61,6 +61,68 @@ EXEC_MEM_MB = 8192
 # short enough to keep probes affordable inside every pair
 PROBE_ITERS = 20
 
+# quiet-window gate (the bench.py clean-retry lesson applied per PAIR): a
+# pair launched into a loaded window is a wasted ~4 minutes that measures
+# the co-tenant — probe steal with a short all-core spin BEFORE each pair
+# and wait (bounded) for it to drop. Steal only accrues while our vCPUs
+# are runnable, so the probe must burn CPU; an idle read would show 0
+# under any co-tenant load.
+QUIET_STEAL_PCT = float(os.environ.get("SCALING_QUIET_STEAL_PCT", "1.5"))
+QUIET_WAIT_SEC = float(os.environ.get("SCALING_QUIET_WAIT_SEC", "420"))
+
+
+def _cpu_stat():
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
+def _steal_probe(seconds: float = 2.5) -> float:
+    """CPU steal%% during an all-core busy spin of `seconds`."""
+    import multiprocessing
+
+    def _burn(stop_t):
+        x = 0
+        while time.time() < stop_t:
+            x += 1
+        return x
+
+    stop_t = time.time() + seconds
+    t0, s0 = _cpu_stat()
+    procs = [
+        multiprocessing.Process(target=_burn, args=(stop_t,), daemon=True)
+        for _ in range(os.cpu_count() or 4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    t1, s1 = _cpu_stat()
+    return 100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0
+
+
+def wait_for_quiet_window(tag: str) -> None:
+    """Block (up to QUIET_WAIT_SEC) until probed steal <= QUIET_STEAL_PCT.
+    Proceeds after the budget either way — the pair's own steal readings
+    still classify it clean/dirty; this only raises clean-pair yield."""
+    deadline = time.time() + QUIET_WAIT_SEC
+    while True:
+        st = _steal_probe()
+        if st <= QUIET_STEAL_PCT:
+            return
+        if time.time() >= deadline:
+            print(
+                f"{tag}: no quiet window within {QUIET_WAIT_SEC:.0f}s "
+                f"(last probe {st:.1f}% steal) — proceeding",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"{tag}: window busy ({st:.1f}% steal) — waiting",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+
 TRIAL_CODE = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -325,6 +387,7 @@ def main():
         ):
             break
         try:
+            wait_for_quiet_window(f"pair {k + 1}")
             rN = run_config(1, data, args.rows, 1, warm_data=warm)
             r4 = run_config(4, data, args.rows, 1, warm_data=warm)
         except RuntimeError as e:
