@@ -69,3 +69,33 @@ def test_single_slab_offset_overflow_guard():
     the int32 Arrow list offsets instead of corrupting the table."""
     with pytest.raises(ValueError, match="int32 list offsets"):
         fx.generate_sequences(fx.FixtureSpec(n_rows=128_000_000))
+
+
+def test_rerun_overwrites_instead_of_appending(tmp_path):
+    """Review finding: a second write_fixture_tables over the same
+    out_dir silently doubled every sequences row (slab appends) while
+    source_info was overwritten — now the sequences dir is rebuilt."""
+    spec = fx.FixtureSpec(n_rows=500, n_sources=2, seed=5)
+    seq, _ = fx.write_fixture_tables(str(tmp_path), spec)
+    n1 = pq.read_table(seq).num_rows
+    fx.write_fixture_tables(str(tmp_path), spec)
+    n2 = pq.read_table(seq).num_rows
+    assert n1 == n2 == 500
+
+
+def test_slab_plan_is_token_aware():
+    """int32 list-offset overflow is TOKEN-count driven: wide-token
+    specs must chunk below the 32M-row bound, and the slab size must
+    shrink so one slab stays under the offset budget."""
+    # default widths, small rows: single shot (history datasets)
+    chunked, _ = fx._slab_plan(fx.FixtureSpec(n_rows=32_000_000))
+    assert not chunked
+    # 20M rows x ~150 avg tokens = 3.0e9 > 2^31: must chunk, and each
+    # slab must fit the budget
+    spec = fx.FixtureSpec(n_rows=20_000_000, min_tok=100, max_tok=200)
+    chunked, slab_rows = fx._slab_plan(spec)
+    assert chunked
+    assert slab_rows * 150 < 2**31 - 1
+    # row-driven chunking still applies at default widths
+    chunked, slab_rows = fx._slab_plan(fx.FixtureSpec(n_rows=64_000_000))
+    assert chunked and slab_rows == fx.SLAB_ROWS

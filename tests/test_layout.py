@@ -129,3 +129,18 @@ class TestKeyParity:
             zorder_key([], 8)
         with pytest.raises(ValueError):
             zorder_key([F.lit(0), F.lit(0), F.lit(0), F.lit(0)], 16)
+
+
+class TestMissingStatsColumns:
+    def test_missing_stats_on_one_column_still_prunes_on_others(self):
+        """Review finding: a column without footer stats broke out of
+        the box loop with ok=True, counting files any real reader would
+        still prune on the REMAINING columns."""
+        stats = [
+            # no stats for x, but y = [5, 9] is fully outside the box
+            {"file": "a", "min": {"y": 5.0}, "max": {"y": 9.0}},
+            # no stats for x, y overlaps: must open
+            {"file": "b", "min": {"y": 0.5}, "max": {"y": 2.0}},
+        ]
+        box = {"x": (0.0, 1.0), "y": (0.0, 1.0)}
+        assert files_overlapping_box(stats, box) == 1

@@ -228,3 +228,62 @@ def test_colliding_stems_stay_distinct_sources(spark, tmp_path):
         fh.write("b\n")
     out2 = {r["source"] for r in read_log_lines(spark, d2).collect()}
     assert out2 == {"web", "db"}
+
+
+def test_scrub_strips_exactly_one_trailing_cr(spark, tmp_path):
+    """Review finding: Java's '$' also matches before a final line
+    terminator, so '\\r$' stripped BOTH CRs of 'ab\\r\\r' while the
+    reference strips one and spaces the rest ('ab ') — \\z anchors to
+    the true end only."""
+    p = tmp_path / "cr.log"
+    p.write_bytes(b"ab\r\r\nplain\nend\r\n")
+    rows = (
+        read_log_lines(spark, str(p), source="cr")
+        .orderBy("line_no")
+        .collect()
+    )
+    got = [r["text"] for r in rows]
+    want = [scrub_line(l) for l in ["ab\r\r\n", "plain\n", "end\r\n"]]
+    assert got == want == ["ab ", "plain", "end"]
+
+
+def test_explicit_source_multifile_global_line_no(spark, tmp_path):
+    """source= over a multi-file glob must number lines GLOBALLY:
+    per-file numbering minted duplicate (source, line_no) keys and
+    doc_ids (review finding)."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.log").write_text("a0\na1\n")
+    (d / "b.log").write_text("b0\nb1\nb2\n")
+    out = read_log_lines(spark, str(d), source="app").orderBy("line_no").collect()
+    assert [r["line_no"] for r in out] == list(range(5))
+    # global order: path-lexicographic, then in-file order
+    assert [r["text"] for r in out] == ["a0", "a1", "b0", "b1", "b2"]
+    assert {r["source"] for r in out} == {"app"}
+
+
+def test_same_basename_different_dirs_stay_distinct(spark, tmp_path):
+    """dir1/app.log + dir2/app.log: the set-based listing used to
+    collapse the basenames, leaving both files as ONE source with
+    per-file line_no — duplicate (source, line_no)/doc_id keys. They
+    must become distinct path-derived sources."""
+    d1 = tmp_path / "dir1"
+    d2 = tmp_path / "dir2"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "app.log").write_text("x0\nx1\n")
+    (d2 / "app.log").write_text("y0\n")
+    out = read_log_lines(
+        spark, [str(d1 / "app.log"), str(d2 / "app.log")]
+    ).collect()
+    srcs = {r["source"] for r in out}
+    assert len(srcs) == 2, f"sources must be distinct, got {srcs}"
+    keys = [(r["source"], r["line_no"]) for r in out]
+    assert len(keys) == len(set(keys)), "no duplicate (source, line_no)"
+    # unrelated single files keep the friendly stem name
+    (d1 / "other.log").write_text("z\n")
+    out2 = read_log_lines(
+        spark,
+        [str(d1 / "app.log"), str(d2 / "app.log"), str(d1 / "other.log")],
+    ).collect()
+    assert "other" in {r["source"] for r in out2}

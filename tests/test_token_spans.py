@@ -332,3 +332,32 @@ def test_pipeline_paths_agree(spark, tmp_path):
     smf = {r["search_id"]: (r["occurrence_count"], r["line_count"])
            for r in search_metrics_flat(flat).collect()}
     assert sm == smf
+
+
+def test_forced_arrow_path_raises_when_not_word_local(spark, tmp_path):
+    """Review finding: run(arrow_path=True) with non-word-local matchers
+    silently fell back to the generic pandas path; every other force
+    flag raises loudly in its impossible configuration — this one now
+    does too."""
+    import pytest as _pytest
+
+    from txtlogparser_spark.config import FilterSpec, WorkspaceConfig
+    from txtlogparser_spark.plans.pipeline import LogPipeline
+    from txtlogparser_spark.sources.fixtures import (
+        FixtureSpec,
+        build_vocab,
+        write_fixture_tables,
+    )
+
+    out = str(tmp_path / "fix")
+    write_fixture_tables(out, FixtureSpec(n_rows=200, n_sources=2, seed=7))
+    info = spark.read.parquet(f"{out}/source_info.parquet")
+    # a multi-word phrase matcher is not word-local
+    ws = WorkspaceConfig(id=1, name="w", filters=[FilterSpec(201, 0, "big batch")])
+    assert not matchers_word_local(ws.enabled_filters(), [])
+    pipe = LogPipeline(spark, ws, build_vocab(), source_info=info)
+    seqs = pipe.load_sequences(f"{out}/sequences")
+    with _pytest.raises(ValueError, match="arrow_path=True requires"):
+        pipe.run(seqs, arrow_path=True, with_search=False)
+    # unforced: the gate quietly picks the generic path and still runs
+    assert pipe.run(seqs, with_search=False).count() >= 0

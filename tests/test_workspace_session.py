@@ -95,3 +95,44 @@ def test_unknown_and_duplicate_ids(spark):
         sess.set_active(99)
     with pytest.raises(RuntimeError):
         sess.routed()
+
+
+def test_match_nothing_session_parses_and_mutates(spark):
+    """Review finding: a session constructed with
+    invalid_regex='match_nothing' still re-validated under the default
+    'reject' in two places — parsed()'s base pipeline (first workspace
+    arbitrary) and update_workspace — so one reference-invalid regex
+    made the session unusable / immutable."""
+    bad = WorkspaceConfig(
+        id=1,
+        name="bad",
+        filters=[FilterSpec(201, 0, "foo[unclosed", regex=True)],
+    )
+    good = _ws(2, "scan")
+    sess = WorkspaceSession(
+        spark,
+        VOCAB,
+        _seqs(spark),
+        # the invalid-regex workspace FIRST so parsed()'s base pipeline
+        # validates it
+        [bad, good],
+        invalid_regex="match_nothing",
+    )
+    try:
+        sess.set_active(2)
+        n = sess.routed().count()
+        assert n > 0
+        # filter mutation on the invalid-regex workspace must not raise
+        sess.update_workspace(
+            WorkspaceConfig(
+                id=1,
+                name="bad",
+                filters=[FilterSpec(201, 0, "foo[unclosed", regex=True)],
+            )
+        )
+        # and the match-nothing semantics hold end-to-end: the invalid
+        # filter alone drops every row (FilterData.cpp:234-237)
+        sess.set_active(1)
+        assert sess.routed().count() == 0
+    finally:
+        sess.close()

@@ -41,7 +41,10 @@ from txtlogparser_spark.functions.spans import (
 )
 from txtlogparser_spark.functions.token_prefilter import token_survival_prefilter
 from txtlogparser_spark.operators.aggregate import filter_metrics, search_metrics
-from txtlogparser_spark.operators.enrich import enrich_with_sources
+from txtlogparser_spark.operators.enrich import (
+    enrich_with_sources,
+    selected_sources,
+)
 from txtlogparser_spark.operators.route import (
     filter_predicate,
     route_tag_column,
@@ -99,13 +102,19 @@ class LogPipeline:
         """Detokenize + derive line_no from doc_id ('{source}-{line_no:08d}',
         FIXTURES.md §1). Column-pruned: only needed cols pass on."""
         df = self._salted(seqs)
+        # long, not int: at the designed 10^12-sequence scale a source
+        # can exceed 2^31 lines, and the non-ANSI string->int cast would
+        # silently NULL line_no past that (breaking the total order)
         return df.withColumn(
             "line_no",
-            F.substring_index("doc_id", "-", -1).cast("int"),
+            F.substring_index("doc_id", "-", -1).cast("long"),
         ).withColumn("text", self._detok(F.col("tokens")))
 
     def enriched(
-        self, parsed: DataFrame, rank_basis: Optional[DataFrame] = None
+        self,
+        parsed: DataFrame,
+        rank_basis: Optional[DataFrame] = None,
+        selected: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Broadcast enrich with source_rank/payload; prune unselected
         sources (S2) before anything expensive.
@@ -128,7 +137,7 @@ class LogPipeline:
                 basis.select("source"), "source"
             ).select("source", F.col("_rank").alias("source_rank"))
             return parsed.join(F.broadcast(ranks), "source", "inner")
-        return enrich_with_sources(parsed, self.source_info)
+        return enrich_with_sources(parsed, self.source_info, selected=selected)
 
     def routed(self, enriched: DataFrame, *, with_search: bool = True) -> DataFrame:
         """Coarse prefilter → span UDF → exact OR-survival → route tag."""
@@ -202,14 +211,13 @@ class LogPipeline:
         # salt repartition and the (opaque, push-blocking) Python span
         # stage, or unselected partitions get scanned, shuffled, and
         # span-extracted only to be dropped by the enrich join at the end
-        if self.source_info is not None and "selected" in self.source_info.columns:
-            selected = [
-                r["source"]
-                for r in self.source_info.where(F.col("selected"))
-                .select("source")
-                .collect()
-            ]
-            df = df.where(F.col("source").isin(selected))
+        _sel = (
+            selected_sources(self.source_info)
+            if self.source_info is not None
+            else None
+        )
+        if _sel is not None:
+            df = df.where(F.col("source").isin(_sel))
         df = self._salted(df)
         # rank basis for degenerate mode = every parsed row, BEFORE any
         # survival filtering (parity with the non-fused path)
@@ -220,7 +228,7 @@ class LogPipeline:
         if tok_pre is not None:
             df = df.where(tok_pre)
         df = df.withColumn(
-            "line_no", F.substring_index("doc_id", "-", -1).cast("int")
+            "line_no", F.substring_index("doc_id", "-", -1).cast("long")
         )
         from txtlogparser_spark.functions.token_spans import (
             make_token_fused_extractor,
@@ -244,6 +252,17 @@ class LogPipeline:
                     f"workspace dialect is {self.ws.regex_dialect!r}"
                 )
             use_tokens = False
+        if arrow_path and not use_tokens:
+            # loud like token_tables=True / with_text=False: silently
+            # falling back to the generic pandas path when the caller
+            # FORCED the zero-copy path would hide the word-locality (or
+            # dialect) reason the request cannot be honored
+            raise ValueError(
+                "arrow_path=True requires the token-table path (matchers "
+                "must be word-local and the dialect python); got "
+                f"use_tokens={use_tokens} — drop arrow_path or fix the "
+                "matchers"
+            )
         use_arrow = use_tokens if arrow_path is None else (arrow_path and use_tokens)
         if not use_arrow and not assembled:
             # flat f_*/s_* sink columns exist only on the mapInArrow path;
@@ -349,7 +368,7 @@ class LogPipeline:
                 if flat
                 else filter_predicate(F.col("filter_spans"))
             )
-        df = self.enriched(df, rank_basis=_rank_basis)
+        df = self.enriched(df, rank_basis=_rank_basis, selected=_sel)
         if filters:
             df = df.withColumn(
                 "route",

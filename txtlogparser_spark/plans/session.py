@@ -83,6 +83,11 @@ class WorkspaceSession:
                 next(iter(self.workspaces.values())),
                 self.vocab,
                 source_info=self.source_info,
+                # without this, LogPipeline.__init__ re-validates the
+                # (arbitrary) first workspace under the default 'reject'
+                # and a match_nothing session with one reference-invalid
+                # regex anywhere could never even parse
+                invalid_regex=self.invalid_regex,
             )
             self._parsed = base.enriched(base.parsed(self.seqs)).persist(
                 StorageLevel.MEMORY_AND_DISK
@@ -133,7 +138,7 @@ class WorkspaceSession:
         WorkspaceManager.cpp:25-76 — the store holds every workspace, so
         an inactive-workspace edit must persist too or it is lost if the
         process exits before the next switch)."""
-        self.workspaces[ws.id] = ws.validate()
+        self.workspaces[ws.id] = ws.validate(invalid_regex=self.invalid_regex)
         self._pipelines.pop(ws.id, None)
         if self.store_path:
             self.save()

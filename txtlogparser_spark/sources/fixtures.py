@@ -205,6 +205,23 @@ def _write_slab(
         )
 
 
+def _slab_plan(spec: FixtureSpec) -> Tuple[bool, int]:
+    """(chunk?, slab_rows): the overflow being guarded is TOKEN-count
+    driven (int32 Arrow list offsets, ~2.1G tokens/slab), so wide-token
+    specs must chunk even under the 32M-row bound, and the slab size
+    itself shrinks so no slab exceeds the offset budget. Default-width
+    specs <= 32M rows stay single-shot — byte-identical to every
+    recorded scaling dataset."""
+    # budget just under 2^31-1: the margin must stay small enough that
+    # the recorded scaling datasets (32M rows x 61.5 avg default tokens
+    # = 1.97G) keep generating single-shot, byte-identical to history
+    budget = 2_100_000_000
+    avg_tok = (spec.min_tok + spec.max_tok) / 2.0
+    token_safe_rows = max(1, int(budget / max(avg_tok, 1.0)))
+    chunked = spec.n_rows > SINGLE_SLAB_MAX_ROWS or spec.n_rows > token_safe_rows
+    return chunked, min(SLAB_ROWS, token_safe_rows)
+
+
 def write_fixture_tables(
     out_dir: str,
     spec: FixtureSpec,
@@ -223,17 +240,27 @@ def write_fixture_tables(
     reason Iceberg targets many row groups per 128MB file."""
     os.makedirs(out_dir, exist_ok=True)
     seq_path = os.path.join(out_dir, "sequences")
+    if os.path.isdir(seq_path):
+        # overwrite, never append: _write_slab appends parts (so
+        # successive SLABS don't clobber each other), which made a
+        # re-run over an existing dir silently DOUBLE every row while
+        # source_info was overwritten — a half-stale corrupt fixture
+        # violating the same-(spec,seed)=>identical-tables contract
+        import shutil
 
-    # Slab-chunked generation past the single-slab bound (rationale at the
-    # SINGLE_SLAB_MAX_ROWS definition).
-    if spec.n_rows > SINGLE_SLAB_MAX_ROWS:
+        shutil.rmtree(seq_path)
+
+    # Slab-chunked generation past the single-slab bound (rationale at
+    # the SINGLE_SLAB_MAX_ROWS definition).
+    chunked, slab_rows = _slab_plan(spec)
+    if chunked:
         from dataclasses import replace
 
         counters: np.ndarray | None = None
         done = 0
         slab_idx = 0
         while done < spec.n_rows:
-            n = min(SLAB_ROWS, spec.n_rows - done)
+            n = min(slab_rows, spec.n_rows - done)
             sub = replace(spec, n_rows=n, seed=spec.seed + 1000 * slab_idx)
             slab, counters = _generate_slab(sub, counters)
             _write_slab(slab, seq_path, partition_by_source, row_group_rows)

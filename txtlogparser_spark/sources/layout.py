@@ -146,8 +146,10 @@ def files_overlapping_box(
         ok = True
         for c, (lo, hi) in box.items():
             if c not in st["min"]:
-                ok = True
-                break
+                # no stats for this column: it cannot prune, but the
+                # REMAINING box columns still can — keep checking (a
+                # break here overcounted must-open files)
+                continue
             if st["max"][c] < lo or st["min"][c] > hi:
                 ok = False
                 break

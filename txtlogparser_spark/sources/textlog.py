@@ -48,8 +48,13 @@ def scrub_expr(col: Column) -> Column:
     """Load-time line scrub (OutputData.cpp:78-90): strip ONE trailing
     '\\r' (the trailing '\\n' is already consumed by the line reader),
     then replace interior '\\r' with ' '. Matches oracle.matcher.scrub_line
-    after its newline strip."""
-    return F.regexp_replace(F.regexp_replace(col, "\r$", ""), "\r", " ")
+    after its newline strip.
+
+    \\z, not $: Java's '$' also matches BEFORE a final line terminator,
+    so '\\r$' on a line ending in two CRs strips both ('ab\\r\\r' ->
+    'ab'), while the reference strips exactly one and spaces the rest
+    ('ab '). \\z anchors to the true end of input only."""
+    return F.regexp_replace(F.regexp_replace(col, "\r\\z", ""), "\r", " ")
 
 
 def read_log_lines(
@@ -76,6 +81,21 @@ def read_log_lines(
     )
     if source is not None:
         src = F.lit(source)
+        # a multi-file glob under ONE logical source must number lines
+        # GLOBALLY (ordered by path, then byte offset): the per-file
+        # window below would emit line_no 0..N per file and every
+        # (source, line_no)-keyed stage / minted doc_id downstream would
+        # silently collide. Same decomposition as the pipeline's global
+        # order: per-file parallel windows + broadcast offsets.
+        from txtlogparser_spark.operators.windowing import with_global_index
+
+        return (
+            with_global_index(raw, "_file", ["_blk", "_mid"], out="line_no")
+            .withColumn("source", src)
+            .select(
+                "source", "line_no", scrub_expr(F.col("_raw")).alias("text")
+            )
+        )
     else:
         # default naming strips the extension for readability — but two
         # files sharing a stem (app.log + app.err) would then collide
@@ -87,22 +107,41 @@ def read_log_lines(
         # would rename every unrelated source (and its downstream
         # doc_id / (source, line_no) keys) corpus-wide the moment one
         # colliding pair appears anywhere in the input.
-        basenames = {p.rstrip("/").rsplit("/", 1)[-1] for p in raw.inputFiles()}
+        files = sorted(raw.inputFiles())
+        base_of = lambda p: p.rstrip("/").rsplit("/", 1)[-1]  # noqa: E731
         stem_of = lambda b: b.rsplit(".", 1)[0] if "." in b else b  # noqa: E731
+        base_count: dict = {}
+        for p in files:
+            b = base_of(p)
+            base_count[b] = base_count.get(b, 0) + 1
+        # basenames colliding ACROSS directories (dir1/app.log +
+        # dir2/app.log): even the full-basename fallback collides, and a
+        # set-based listing used to hide it entirely — both files became
+        # one source with per-file line_no, minting duplicate doc_ids.
+        # Those fall back to the full path (scheme stripped, '/'→'_'),
+        # unique by construction.
+        base_colliding = sorted(b for b, n in base_count.items() if n > 1)
         stem_count: dict = {}
-        for b in basenames:
+        for b in base_count:
             stem_count[stem_of(b)] = stem_count.get(stem_of(b), 0) + 1
         colliding = sorted(s for s, n in stem_count.items() if n > 1)
         base_expr = F.element_at(F.split(F.col("_file"), "/"), -1)
         stem_expr = F.regexp_replace(base_expr, r"\.[^.]*$", "")
+        path_expr = F.regexp_replace(
+            F.regexp_replace(F.col("_file"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", ""),
+            "/",
+            "_",
+        )
+        src = stem_expr
         if colliding:
-            src = F.when(stem_expr.isin(colliding), base_expr).otherwise(stem_expr)
-        else:
-            src = stem_expr
+            src = F.when(stem_expr.isin(colliding), base_expr).otherwise(src)
+        if base_colliding:
+            src = F.when(base_expr.isin(base_colliding), path_expr).otherwise(src)
     w = Window.partitionBy("_file").orderBy("_blk", "_mid")
     return (
         raw.withColumn("source", src)
-        .withColumn("line_no", F.row_number().over(w) - 1)
+        # long for schema parity with the explicit-source global path
+        .withColumn("line_no", (F.row_number().over(w) - 1).cast("long"))
         .select("source", "line_no", scrub_expr(F.col("_raw")).alias("text"))
     )
 
