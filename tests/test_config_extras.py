@@ -98,3 +98,40 @@ class TestInvalidRegexCompat:
             load_workspaces(p)
         loaded = load_workspaces(p, invalid_regex="match_nothing")
         assert loaded[0].filters[0].pattern == self.BAD
+
+
+class TestSourceUniqueness:
+    def test_duplicate_source_rank_rejected(self):
+        from txtlogparser_spark.config import (
+            ConfigError,
+            SourceSpec,
+            WorkspaceConfig,
+        )
+        import pytest as _pytest
+
+        ws = WorkspaceConfig(
+            sources=[SourceSpec("a", 1), SourceSpec("b", 1)]
+        )
+        with _pytest.raises(ConfigError, match="source_rank"):
+            ws.validate()
+
+    def test_duplicate_source_name_rejected(self):
+        from txtlogparser_spark.config import (
+            ConfigError,
+            SourceSpec,
+            WorkspaceConfig,
+        )
+        import pytest as _pytest
+
+        ws = WorkspaceConfig(
+            sources=[SourceSpec("a", 0), SourceSpec("a", 1)]
+        )
+        with _pytest.raises(ConfigError, match="source names"):
+            ws.validate()
+
+    def test_distinct_sources_pass(self):
+        from txtlogparser_spark.config import SourceSpec, WorkspaceConfig
+
+        WorkspaceConfig(
+            sources=[SourceSpec("a", 0), SourceSpec("b", 1)]
+        ).validate()

@@ -107,3 +107,52 @@ def test_engine_regex_unicode_casefold_matches_oracle():
         want = run_oracle(text, filters, [])
         assert want is not None, "oracle must match (re.I full casefold)"
         assert efs == want[0]
+
+
+class TestEmptySegmentReferenceSemantics:
+    """FilterData.cpp:154-159/221-229 + OutputData.cpp:291-306: an empty
+    unclaimed subline a matcher finds nothing in is NOT re-emitted, so
+    an empty line vanishes after the first non-claiming filter — a LATER
+    zero-width-capable regex must never see (or claim) it. A zero-width
+    regex as the FIRST filter does claim the empty line
+    (sregex_iterator yields the empty match; FilterData.cpp:193-216).
+    Review finding: the engine used to keep the empty segment."""
+
+    def _spans(self, text, filters):
+        ftab = _matcher_table(filters)
+        fs, _, _ = extract_line_spans(text, ftab, _matcher_table([]), False)
+        return fs
+
+    def test_empty_line_literal_then_zero_width_regex_not_claimed(self):
+        filters = [
+            FilterSpec(201, 0, "a"),
+            FilterSpec(202, 1, "x*", regex=True),
+        ]
+        fs = self._spans("", filters)
+        assert all(sp[2] == -1 for sp in fs), f"must stay unclaimed: {fs}"
+        # and the oracle agrees (it drops the line: no claimed spans)
+        ws = WorkspaceConfig(filters=filters)
+        res = run_pipeline(
+            [LineRec(doc_id="d", source="s", source_rank=0, line_no=0, text="")],
+            ws,
+        )
+        assert not res.lines
+
+    def test_empty_line_zero_width_regex_first_claims(self):
+        filters = [FilterSpec(202, 0, "x*", regex=True)]
+        fs = self._spans("", filters)
+        assert [sp[:3] for sp in fs] == [(0, 0, 202)]
+        ws = WorkspaceConfig(filters=filters)
+        res = run_pipeline(
+            [LineRec(doc_id="d", source="s", source_rank=0, line_no=0, text="")],
+            ws,
+        )
+        assert len(res.lines) == 1
+
+    def test_nonempty_no_match_segment_still_kept(self):
+        filters = [
+            FilterSpec(201, 0, "zz"),
+            FilterSpec(202, 1, "ab"),
+        ]
+        fs = self._spans("xaby", filters)
+        assert (1, 3, 202) in [sp[:3] for sp in fs]

@@ -41,6 +41,23 @@ def norm(v):
         return round(v, 6)
     if isinstance(v, bool):
         return bool(v)
+    # temporal canonicalization: duckdb's .df() surfaces NULL timestamps
+    # as pd.NaT (neither None nor float-NaN) and DATE columns as
+    # pd.Timestamp, while Spark returns datetime.date / datetime.datetime
+    # — normalize both engines to ISO strings so semantically equal
+    # temporals compare (and sort) equal
+    import datetime as _dt
+
+    import pandas as _pd
+
+    if v is _pd.NaT or (isinstance(v, _pd.Timestamp) and _pd.isna(v)):
+        return "\x00null"
+    if isinstance(v, _pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat(sep=" ")
     return v
 
 
@@ -71,6 +88,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently test nothing and exit 0
+        raise SystemExit(
+            f"unknown query name(s) {sorted(unknown)}; "
+            f"registered: {sorted(qs)}"
+        )
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -39,14 +39,29 @@ def main() -> None:
     spark = SparkSession.builder.appName("txtlogparser-spark-run").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from txtlogparser_spark.config import WorkspaceConfig
+    from txtlogparser_spark.config import WorkspaceConfig, load_workspaces
     from txtlogparser_spark.plans.pipeline import LogPipeline
     from txtlogparser_spark.plans.lineage import RunManifest, new_run_id
     from txtlogparser_spark.sources.fixtures import build_vocab, default_workspace
 
     if args.workspace:
         with open(args.workspace) as fh:
-            ws = WorkspaceConfig.from_dict(json.load(fh))
+            d = json.load(fh)
+        if "workspaces" in d:
+            # versioned store envelope (save_workspaces format): load it
+            # properly instead of letting from_dict default every field
+            # into an empty pass-everything workspace
+            wss = load_workspaces(args.workspace)
+            ws = wss[0]
+        elif "filters" in d or "searches" in d:
+            ws = WorkspaceConfig.from_dict(d)
+        else:
+            raise SystemExit(
+                f"--workspace {args.workspace}: neither a workspace dict "
+                "(filters/searches keys) nor a versioned store "
+                "(workspaces key) — refusing to run with an implicit "
+                "empty workspace that would route every row"
+            )
     else:
         ws = default_workspace()
 
@@ -67,9 +82,21 @@ def main() -> None:
     routed = pipe.run(seqs, with_search=not args.no_search)
     pipe.write_sinks(routed, args.out, compact=args.compact)
     sink = spark.read.parquet(os.path.join(args.out, "routed"))
-    n = sink.count()
-    fc = pipe.filter_counts(sink)
+    # ONE scan for rows_routed + per-filter metrics (the sentinel row
+    # carries the total) instead of a count() pass plus a metrics pass
+    from txtlogparser_spark.operators.aggregate import (
+        ALL_ROWS_SENTINEL,
+        one_pass_metrics,
+    )
+
+    import pyspark.sql.functions as F
+
+    m = one_pass_metrics(sink).persist()
+    srow = m.where(F.col("filter_id") == ALL_ROWS_SENTINEL).select("line_count").collect()
+    n = int(srow[0][0]) if srow else 0
+    fc = m.where(F.col("filter_id") != ALL_ROWS_SENTINEL)
     fc.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "metrics_filters"))
+    m.unpersist()
     if not args.no_search:
         sc = pipe.search_counts(sink)
         sc.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "metrics_searches"))

@@ -215,6 +215,17 @@ class WorkspaceConfig:
             rows = [m.row for m in coll]
             if len(rows) != len(set(rows)):
                 raise ConfigError(f"duplicate {kind} row values {rows}")
+        # sources get the same uniqueness discipline as filter/search
+        # rows: the global total order is (source_rank, line_no), so a
+        # duplicated rank makes it ambiguous (orderBy ties resolve
+        # nondeterministically) and a duplicated source name silently
+        # doubles selection
+        names = [s.source for s in self.sources]
+        if len(names) != len(set(names)):
+            raise ConfigError(f"duplicate source names {names}")
+        ranks = [s.source_rank for s in self.sources]
+        if len(ranks) != len(set(ranks)):
+            raise ConfigError(f"duplicate source_rank values {ranks}")
         return self
 
     # ---- application order (std::map keyed by row, OutputData.h:106,113) ----

@@ -218,7 +218,19 @@ def extract_line_spans(
                     continue
                 positions = _segment_matches(text, folded, sp[0], sp[1], m)
                 if not positions:
-                    nxt.append(sp)
+                    # an EMPTY unclaimed segment a matcher found nothing
+                    # in is NOT re-emitted: the reference's apply() only
+                    # pushes the unmatched remainder when it is non-empty
+                    # (FilterData.cpp:154-159, 221-229), so an empty line
+                    # vanishes from the subline list after the first
+                    # non-claiming filter and later zero-width-capable
+                    # matchers never see it (parity bug: the engine used
+                    # to keep it and let a later 'x*' claim the line the
+                    # reference drops)
+                    if sp[1] > sp[0]:
+                        nxt.append(sp)
+                    else:
+                        changed = True
                     continue
                 changed = True
                 last = sp[0]
@@ -245,7 +257,12 @@ def extract_line_spans(
                     continue
                 positions = _segment_matches(text, folded, sp[0], sp[1], m)
                 if not positions:
-                    nxt.append(sp)
+                    # same empty-segment drop as the filter pass (the
+                    # reference's search loop shares apply())
+                    if sp[1] > sp[0]:
+                        nxt.append(sp)
+                    else:
+                        changed = True
                     continue
                 changed = True
                 last = sp[0]

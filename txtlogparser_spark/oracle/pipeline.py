@@ -150,8 +150,17 @@ def _combine(filter_spans: List[Span], search_spans: List[Span]) -> List[Span]:
         nxt: List[Span] = []
         for cs in combined:
             # Pointer comparisons on inclusive last chars (OutputData.cpp:446-453);
-            # skip when no char overlap. NB: zero-length spans have last < first
-            # and therefore never overlap — matching the reference arithmetic.
+            # skip when no char overlap. NB on zero-length spans (the
+            # inclusive-last arithmetic is asymmetric — kept faithfully):
+            # a zero-length SEARCH span ss at an interior position of cs
+            # passes the guard and splits cs in two there while ss itself
+            # emits nothing (mid_end == mid_start); a zero-length FILTER
+            # span cs skips unless a search span strictly encloses its
+            # position (ss.start < cs.start < ss.end), in which case cs
+            # is dropped with nothing emitted. The engine's
+            # _combine_spans uses the identical arithmetic, so parity
+            # holds — do not "fix" one side to the intuitive no-overlap
+            # rule without the other.
             if ss.start > cs.end - 1 or ss.end - 1 < cs.start:
                 nxt.append(cs)
                 continue
