@@ -2016,6 +2016,12 @@ def oracle_sql() -> dict[str, str]:
         # on BOTH sides: Spark's tokenizer special-cases length(text)=0,
         # the oracle excludes them from p and restores them via LEFT JOIN
         # (string_split('', ' ') = [''] would otherwise read as one token).
+        # sensor columns (r4 VERDICT #2): tp_* replay the empty-line span
+        # semantics in closed form. Literal workspace over synthetic
+        # tokens (ids 0/1 = claimed words): span count alternates
+        # claimed/unclaimed, so nspans = 2c-1 + lead-gap + trail-gap;
+        # the EMPTY row yields 0 (reference drops the empty subline).
+        # Zero-width-first regex claims every line → route 290 always.
         "log_ingest_tokenize": """
             WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS rawwords FROM documents),
             words AS (SELECT DISTINCT unnest(rawwords) AS w FROM d),
@@ -2031,11 +2037,37 @@ def oracle_sql() -> dict[str, str]:
                 SUM(CAST(pos AS BIGINT) * id) AS cks
               FROM p JOIN ids ON p.w = ids.w
               GROUP BY p.doc_id
+            ),
+            tp AS (
+              SELECT doc_id,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 9 AS ns
+              FROM d
+            ),
+            tpt AS (
+              SELECT doc_id, ns,
+                list_transform(
+                  CASE WHEN ns = 0 THEN [] ELSE range(1, ns + 1) END,
+                  i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) AS INT) % 16
+                ) AS toks
+              FROM tp
+            ),
+            tps AS (
+              SELECT doc_id,
+                len(list_filter(toks, t -> t < 2)) AS c, ns, toks
+              FROM tpt
             )
             SELECT d.doc_id AS doc_id,
               CAST(coalesce(n_tok, 0) AS INT) AS n_tok,
-              CAST(coalesce(cks, 0) AS BIGINT) AS tok_checksum
+              CAST(coalesce(cks, 0) AS BIGINT) AS tok_checksum,
+              CAST(CASE WHEN ns = 0 THEN 0
+                        WHEN c = 0 THEN 1
+                        ELSE 2 * c - 1
+                             + CASE WHEN toks[1] >= 2 THEN 1 ELSE 0 END
+                             + CASE WHEN toks[ns] >= 2 THEN 1 ELSE 0 END
+                   END AS INT) AS tp_nspans,
+              290 AS tp_route_zw
             FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            JOIN tps ON d.doc_id = tps.doc_id
         """,
         "log_page_offset": """
             WITH l AS (
@@ -4476,13 +4508,80 @@ def q_log_ingest_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = F.transform(
         "tokens", lambda t, i: t.cast("long") * (i.cast("long") + 1)
     )
-    return toks.select(
+    res = toks.select(
         "doc_id",
         F.size("tokens").alias("n_tok"),
         F.aggregate(
             weighted, F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("tok_checksum"),
     )
+    return _with_empty_line_sensor(res)
+
+
+# Empty-line span-shape sensor (r4 VERDICT #2): the driver's testdata has
+# no empty documents, so the one place the token fast path ever diverged
+# from the reference (FilterData.cpp:154-159/221-229 — the empty line
+# vanishes after the first non-claiming filter; a zero-width-first regex
+# claims it) was invisible to CORRECTNESS. These columns synthesize
+# md5-derived token arrays (~1/9 of rows EMPTY) and run them through BOTH
+# engines so the DuckDB value hash breaks if either regresses.
+_TP_VOCAB = [
+    "scan", "join", "filter", "merge", "alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa", "lam", "mu",
+]
+
+
+def _with_empty_line_sensor(res: DataFrame) -> DataFrame:
+    from txtlogparser_spark.functions.token_spans import (
+        make_token_fused_extractor,
+        matchers_word_local,
+    )
+
+    lit_ws = [
+        FilterSpec(291, 0, "scan", caseSensitive=True, wholeWord=False, regex=False),
+        FilterSpec(292, 1, "join", caseSensitive=True, wholeWord=False, regex=False),
+    ]
+    zw_ws = [FilterSpec(290, 0, "q*", caseSensitive=True, wholeWord=False, regex=True)]
+    assert matchers_word_local(lit_ws, []), "sensor workspace must take the fast path"
+
+    h2 = lambda c: F.conv(F.substring(F.md5(c), 1, 2), 16, 10).cast("int")
+    did = F.col("doc_id").cast("string")
+    n_syn = (h2(did) % 9).alias("_tp_n")
+    syn = F.when(
+        F.col("_tp_n") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_tp_n")),
+            lambda i: h2(F.concat_ws(":", did, i.cast("string"))) % 16,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    df = res.withColumn("_tp_n", n_syn).withColumn("_tp_toks", syn)
+
+    # (a) token-table fast path, gate-admitted literal workspace: an
+    # empty token array must yield ZERO spans (the pre-fix path emitted a
+    # synthetic unclaimed whole-line span → hash breaks)
+    tp_udf = make_token_fused_extractor(
+        _TP_VOCAB, lit_ws, [], include_search=False, include_text=False
+    )
+    df = df.withColumn("tp_nspans", F.size(tp_udf(F.col("_tp_toks"))["f_start"]))
+
+    # (b) generic extractor, zero-width regex FIRST: claims every line
+    # INCLUDING empty ones (sregex_iterator yields the empty match,
+    # FilterData.cpp:193-216) — route must be 290 for all rows
+    vocab_arr = F.array(*[F.lit(w) for w in _TP_VOCAB])
+    df = df.withColumn(
+        "_tp_text",
+        F.concat_ws(
+            " ", F.transform("_tp_toks", lambda t: F.element_at(vocab_arr, t + 1))
+        ),
+    )
+    df = attach_spans(df, "_tp_text", zw_ws, [], include_search=False)
+    df = df.withColumn(
+        "tp_route_zw",
+        F.when(
+            F.exists("filter_spans", lambda s: s.filter_id != F.lit(-1)), F.lit(290)
+        ),
+    )
+    return df.drop("_tp_n", "_tp_toks", "_tp_text", "filter_spans")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,9 +120,36 @@ def test_token_tables_property(ids, ws_idx):
     assert got[2] == want[2]
 
 
-def test_empty_ids():
-    filters, searches = WORKSPACES[0]
-    fs, ss, cs = _spans_via_tokens([], filters, searches)
+def test_empty_ids_matches_generic_path():
+    """Empty token array == extract_line_spans(""): the reference drops
+    the empty subline after the first non-claiming filter
+    (FilterData.cpp:154-159/221-229, OutputData.cpp:291-306), so the
+    token fast path must NOT emit a synthetic whole-line span."""
+    for filters, searches in WORKSPACES:
+        got = _spans_via_tokens([], filters, searches)
+        want = _spans_via_text([], filters, searches)
+        assert got[0] == want[0], (filters, searches)
+        assert got[1] == want[1], (filters, searches)
+        assert got[2] == want[2], (filters, searches)
+
+
+def test_empty_ids_reference_shapes():
+    # non-claiming filter first: empty line vanishes (empty span list),
+    # a LATER zero-width regex never sees it
+    filters = [
+        FilterSpec(201, 0, "a", caseSensitive=True, wholeWord=False, regex=False),
+        FilterSpec(202, 1, "x*", caseSensitive=True, wholeWord=False, regex=True),
+    ]
+    fs, ss, cs = _spans_via_tokens([], filters, [])
+    assert fs == []
+    # zero-width regex FIRST: claims the empty line at (0,0)
+    filters = [
+        FilterSpec(202, 0, "x*", caseSensitive=True, wholeWord=False, regex=True)
+    ]
+    fs, ss, cs = _spans_via_tokens([], filters, [])
+    assert [sp[:3] for sp in fs] == [(0, 0, 202)]
+    # no filters at all: the untouched whole-(empty-)line span survives
+    fs, ss, cs = _spans_via_tokens([], [], [])
     assert fs == [(0, 0, -1, -1, -1, -1)]
 
 
@@ -264,7 +291,11 @@ def test_pipeline_paths_agree(spark, tmp_path):
     )
 
     out = str(tmp_path / "fix")
-    write_fixture_tables(out, FixtureSpec(n_rows=2000, n_sources=3, seed=11))
+    # empty_fraction: ~2% of rows carry an EMPTY token array — all three
+    # paths must agree on the empty-line reference semantics too
+    write_fixture_tables(
+        out, FixtureSpec(n_rows=2000, n_sources=3, seed=11, empty_fraction=0.02)
+    )
     info = spark.read.parquet(f"{out}/source_info.parquet")
     ws = default_workspace()
     assert matchers_word_local(ws.enabled_filters(), ws.enabled_searches())
@@ -361,3 +392,47 @@ def test_forced_arrow_path_raises_when_not_word_local(spark, tmp_path):
         pipe.run(seqs, arrow_path=True, with_search=False)
     # unforced: the gate quietly picks the generic path and still runs
     assert pipe.run(seqs, with_search=False).count() >= 0
+
+
+def test_empty_rows_through_spark_and_arrow_paths(spark):
+    """The UDF and the mapInArrow mapper each short-circuit empty/null
+    token rows BEFORE spans_for_ids — those branches must emit the same
+    empty-line sentinel (reference: the empty line vanishes after the
+    first non-claiming filter; the r4 parity bug lived exactly here)."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from txtlogparser_spark.functions.arrow_spans import make_arrow_span_mapper
+    from txtlogparser_spark.functions.token_spans import make_token_fused_extractor
+
+    filters, searches = WORKSPACES[0]
+    rows = [[], [0, 1, 2], None, [4]]
+    want = [
+        _spans_via_text(ids if ids is not None else [], filters, searches)[0]
+        for ids in rows
+    ]
+
+    # pandas-UDF path
+    df = spark.createDataFrame([(r,) for r in rows], "tokens array<int>")
+    udf = make_token_fused_extractor(VOCAB, filters, searches)
+    got = (
+        df.withColumn("_f", udf(F.col("tokens")))
+        .select(F.arrays_zip("_f.f_start", "_f.f_end", "_f.f_id", "_f.f_row").alias("z"))
+        .collect()
+    )
+    for w, r in zip(want, got):
+        flat = [(t["f_start"], t["f_end"], t["f_id"], t["f_row"]) for t in r["z"]]
+        assert flat == [sp[:4] for sp in w], (flat, w)
+
+    # mapInArrow path (mapper called directly on a RecordBatch)
+    fn, _ = make_arrow_span_mapper(VOCAB, filters, searches)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(rows, type=pa.list_(pa.int32()))], names=["tokens"]
+    )
+    (out,) = list(fn(iter([batch])))
+    tab = out.to_pydict()
+    for i, w in enumerate(want):
+        flat = list(
+            zip(tab["f_start"][i], tab["f_end"][i], tab["f_id"][i], tab["f_row"][i])
+        )
+        assert flat == [sp[:4] for sp in w], (i, flat, w)

@@ -50,6 +50,10 @@ def make_arrow_span_mapper(
         want_search=include_search,
         want_combined=False,
     )
+    # empty-line sentinel (see build_word_tables): full span lists for
+    # len(tokens)==0 / null rows, flattened to this mapper's 4-int layout
+    empty_f = [(sp[0], sp[1], sp[2], sp[3]) for sp in ffrags[-1]]
+    empty_s = [(sp[0], sp[1], sp[4], sp[5]) for sp in sfrags[-1]]
     i32 = pa.int32()
     extra_fields = [
         pa.field("f_start", pa.list_(i32), False),
@@ -144,10 +148,14 @@ def make_arrow_span_mapper(
                 a, b = offs[r], offs[r + 1]
                 k = b - a
                 if k == 0 or (valid is not None and not valid[r]):
-                    f_s.append(0); f_e.append(0); f_i.append(-1); f_r.append(-1)
+                    for s0, e0, i0, r0 in empty_f:
+                        f_s.append(s0); f_e.append(e0)
+                        f_i.append(i0); f_r.append(r0)
                     f_off.append(len(f_s))
                     if include_search:
-                        s_s.append(0); s_e.append(0); s_i.append(-1); s_r.append(-1)
+                        for s0, e0, i0, r0 in empty_s:
+                            s_s.append(s0); s_e.append(e0)
+                            s_i.append(i0); s_r.append(r0)
                         s_off.append(len(s_s))
                     if include_text:
                         texts.append("")

@@ -180,20 +180,35 @@ def build_word_tables(
     """Run the exact per-line extractor once per vocabulary word.
 
     Returns (wlen, has_claim, ffrags, sfrags, cfrags) where wlen/has_claim
-    are numpy arrays indexed by word id (last slot = <unk>) and *frags are
-    object arrays of tuples of CLAIMED spans (word-relative offsets);
-    unclaimed gaps are reconstructed during assembly.
+    are numpy arrays indexed by word id (second-to-last slot = <unk>) and
+    *frags are object arrays of tuples of CLAIMED spans (word-relative
+    offsets); unclaimed gaps are reconstructed during assembly.
+
+    The LAST slot of every array is the EMPTY-LINE SENTINEL: ids never
+    reference it (out-of-range ids map to the <unk> slot before it), and
+    unlike the per-word slots its frag entries hold the FULL span lists
+    of `extract_line_spans("")` (absolute 6-tuples, possibly empty —
+    reference semantics: the empty line vanishes after the first
+    non-claiming filter, FilterData.cpp:154-159/221-229, while a
+    zero-width regex as the first filter claims it). spans_for_ids and
+    the arrow mapper return it verbatim for empty token arrays so the
+    fast path agrees with the generic extractor on empty lines.
     """
     ftab = _matcher_table(filters)
     stab = _matcher_table(searches) if want_search else []
 
     words = list(vocab) + [UNK]
     nv = len(words)
-    wlen = np.empty(nv, dtype=np.int64)
-    has_claim = np.zeros(nv, dtype=bool)
-    ffrags = np.empty(nv, dtype=object)
-    sfrags = np.empty(nv, dtype=object)
-    cfrags = np.empty(nv, dtype=object)
+    wlen = np.zeros(nv + 1, dtype=np.int64)
+    has_claim = np.zeros(nv + 1, dtype=bool)
+    ffrags = np.empty(nv + 1, dtype=object)
+    sfrags = np.empty(nv + 1, dtype=object)
+    cfrags = np.empty(nv + 1, dtype=object)
+
+    efs, ess, ecs = extract_line_spans("", ftab, stab, want_combined)
+    ffrags[nv] = tuple(efs)
+    sfrags[nv] = tuple(ess)
+    cfrags[nv] = tuple(ecs) if want_combined else ((0, 0, -1, -1, -1, -1),)
 
     for i, w in enumerate(words):
         wlen[i] = len(w)
@@ -264,7 +279,12 @@ def spans_for_ids(
     range) → (filter_spans, search_spans, combined_spans). Testable
     off-cluster against extract_line_spans on the joined text."""
     if len(ids) == 0:
-        return _EMPTY_SPAN, _EMPTY_SPAN, _EMPTY_SPAN
+        # empty-line sentinel (last table slot): the precomputed
+        # extract_line_spans("") result for this matcher set — an empty
+        # list when a non-claiming filter exists (the reference drops the
+        # empty subline), a claimed (0,0) span when a zero-width regex is
+        # the first filter. NOT the old synthetic whole-line span.
+        return list(ffrags[-1]), list(sfrags[-1]), list(cfrags[-1])
     lens = wlen[ids]
     k = len(ids)
     n = int(lens.sum()) + (k - 1)
@@ -322,6 +342,11 @@ def make_token_fused_extractor(
         want_search=include_search,
         want_combined=include_combined,
     )
+    # empty-line sentinel (see build_word_tables): reference semantics
+    # for len(tokens)==0 rows, shared with the None-tokens branch
+    empty_fs = list(ffrags[-1])
+    empty_ss = list(sfrags[-1])
+    empty_cs = list(cfrags[-1])
 
     arr = ArrayType(IntegerType(), False)
     fields = [StructField("text", StringType(), False)] if include_text else []
@@ -362,7 +387,7 @@ def make_token_fused_extractor(
             if t is None or len(t) == 0:
                 if include_text:
                     ap["text"]("")
-                _emit(ap, _EMPTY_SPAN, _EMPTY_SPAN, _EMPTY_SPAN)
+                _emit(ap, empty_fs, empty_ss, empty_cs)
                 continue
             ids = np.asarray(t, dtype=np.int64)
             ids = np.where((ids >= 0) & (ids < nv), ids, nv)  # oob → <unk>

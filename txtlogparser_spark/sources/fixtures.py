@@ -63,6 +63,13 @@ class FixtureSpec:
     max_tok: int = 120
     hot_fraction: float = 0.0  # fraction of rows forced into source 0
     interesting_rate: float = 0.25  # per-token prob of an interesting word
+    # fraction of rows with an EMPTY token array (n_tok=0). Reference
+    # semantics make empty lines a real shape: the line vanishes after
+    # the first non-claiming filter, while a zero-width-first regex
+    # claims it (FilterData.cpp:154-159/221-229) — the r4 token-path
+    # parity bug lived exactly here. Default 0.0 keeps generation
+    # byte-identical to every recorded scaling dataset.
+    empty_fraction: float = 0.0
 
 
 def _generate_slab(
@@ -83,9 +90,22 @@ def _generate_slab(
         src_idx = np.where(hot, 0, src_idx)
 
     n_tok = rng.randint(spec.min_tok, spec.max_tok + 1, size=n).astype(np.int32)
+    if spec.empty_fraction > 0:
+        # drawn only when requested so the default path's rng stream —
+        # and hence every historical dataset — stays byte-identical
+        n_tok[rng.rand(n) < spec.empty_fraction] = 0
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
     total = int(offsets[-1])
+    if total > 2**31 - 1:
+        # _slab_plan sizes slabs from the AVERAGE token width with ~2%
+        # headroom; a high-variance draw could still overflow Arrow's
+        # int32 list offsets — fail loudly instead of writing a corrupt
+        # ListArray (ADVICE r4)
+        raise ValueError(
+            f"slab token total {total} overflows int32 list offsets; "
+            f"lower slab rows for this spec"
+        )
 
     # token stream: filler words by default, interesting words at a fixed rate
     values = rng.randint(n_int, VOCAB_SIZE, size=total)
