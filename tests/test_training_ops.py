@@ -28,6 +28,25 @@ class TestDedup:
         assert out[3] == (0, True)
         assert out[1] == (1, False)  # near-dup is NOT an exact dup
 
+    def test_exact_dedup_hot_digest_no_window(self, spark):
+        """Keeper election must be a partial aggregation, not a window:
+        a window over the digest serializes a 10^9-copy boilerplate
+        digest through one task at scale. Plan pins Window absence;
+        a dominant-digest input pins the values."""
+        from txtlogparser_spark.operators.dedup import exact_dedup
+
+        rows = [(i, "boilerplate page", "s0") for i in range(500)]
+        rows += [(1000 + i, f"unique text {i}", "s1") for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = exact_dedup(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        got = {r["doc_id"]: (r["keeper_id"], r["is_dup"]) for r in out.collect()}
+        assert len(got) == 520
+        assert got[0] == (0, False)
+        assert all(got[i] == (0, True) for i in range(1, 500))
+        assert all(got[1000 + i] == (1000 + i, False) for i in range(20))
+
     def test_ngram_jaccard(self, docs):
         from txtlogparser_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -34,16 +34,21 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> D
 
     The keeper is computed on a PRUNED (key, digest) projection and
     joined back on the key, so the digest shuffle moves two columns —
-    never the wide row. (Windowing the full df over the digest would
-    shuffle the entire text column; with the caller's usual key
-    partitioning — _docs_part — the join-back adds no big-side
-    exchange either.)"""
-    w = Window.partitionBy("_dig")
-    keeper = (
-        df.select(key, content_fingerprint(text_col).alias("_dig"))
-        .withColumn("keeper_id", F.min(key).over(w))
-        .select(key, "keeper_id")
-    )
+    never the wide row; with the caller's usual key partitioning
+    (_docs_part) the join-back adds no big-side exchange either.
+
+    Keeper election is a groupBy partial aggregation, NOT a window over
+    the digest: `min(key).over(partitionBy(_dig))` ships every copy of
+    a hot digest (10^9-copy boilerplate at 100 TB) through ONE task,
+    while groupBy combines map-side — one (digest, min-key) row per map
+    partition regardless of skew (same shape as paragraph_dedup's
+    keeper election). The remaining skew surface is the narrow
+    tag-back join on _dig, which AQE's skew-join split handles (it
+    cannot split a window partition) — pinned by
+    tests/test_training_ops.py::test_exact_dedup_hot_digest_no_window."""
+    keyed = df.select(key, content_fingerprint(text_col).alias("_dig"))
+    keepers = keyed.groupBy("_dig").agg(F.min(key).alias("keeper_id"))
+    keeper = keyed.join(keepers, "_dig").select(key, "keeper_id")
     return df.join(keeper, key).withColumn(
         "is_dup", F.col(key) != F.col("keeper_id")
     )
