@@ -135,3 +135,81 @@ class TestSourceUniqueness:
         WorkspaceConfig(
             sources=[SourceSpec("a", 0), SourceSpec("b", 1)]
         ).validate()
+
+
+class TestLoadCompatAndActiveWorkspace:
+    def test_duplicate_source_name_keep_first_compat(self):
+        """Reference stores key files by fileId, not path (WorkspaceData.h:94),
+        so a persisted store can carry the same path twice — the
+        match_nothing load-compat mode must keep loading (keep-first)."""
+        from txtlogparser_spark.config import SourceSpec, WorkspaceConfig
+
+        ws = WorkspaceConfig(
+            sources=[
+                SourceSpec("a", 0),
+                SourceSpec("a", 1),
+                SourceSpec("b", 2),
+            ]
+        ).validate(source_dups="keep_first")
+        assert [(s.source, s.source_rank) for s in ws.sources] == [
+            ("a", 0), ("b", 2),
+        ]
+
+    def test_load_workspaces_compat_mode_tolerates_dup_sources(self, tmp_path):
+        import json
+
+        from txtlogparser_spark.config import (
+            ConfigError,
+            FORMAT_VERSION,
+            load_workspaces,
+        )
+        import pytest as _pytest
+
+        doc = {
+            "formatVersion": FORMAT_VERSION,
+            "workspaces": [
+                {
+                    "id": 1,
+                    "name": "w",
+                    "filters": [],
+                    "searches": [],
+                    "sources": [
+                        {"source": "x", "source_rank": 0},
+                        {"source": "x", "source_rank": 1},
+                    ],
+                }
+            ],
+        }
+        p = str(tmp_path / "store.json")
+        with open(p, "w") as fh:
+            json.dump(doc, fh)
+        with _pytest.raises(ConfigError, match="source names"):
+            load_workspaces(p)  # strict default still rejects
+        (ws,) = load_workspaces(p, invalid_regex="match_nothing")
+        assert [s.source for s in ws.sources] == ["x"]
+
+    def test_save_workspaces_roundtrips_active_id(self, tmp_path):
+        import json
+
+        from txtlogparser_spark.config import (
+            FilterSpec,
+            WorkspaceConfig,
+            load_workspaces,
+            save_workspaces,
+        )
+
+        wss = [
+            WorkspaceConfig(id=1, name="first"),
+            WorkspaceConfig(
+                id=2,
+                name="second",
+                filters=[FilterSpec(201, 0, "ERROR")],
+            ),
+        ]
+        p = str(tmp_path / "store.json")
+        save_workspaces(p, wss, active_id=2)
+        with open(p) as fh:
+            doc = json.load(fh)
+        assert doc["activeWorkspaceId"] == 2
+        loaded = load_workspaces(p)
+        assert [w.id for w in loaded] == [1, 2]

@@ -52,7 +52,25 @@ def main() -> None:
             # properly instead of letting from_dict default every field
             # into an empty pass-everything workspace
             wss = load_workspaces(args.workspace)
-            ws = wss[0]
+            if not wss:
+                raise SystemExit(
+                    f"--workspace {args.workspace}: store contains no "
+                    "workspaces — nothing to run"
+                )
+            # the reference persists+restores the ACTIVE workspace id
+            # (WorkspaceManager.cpp:46,127-133); running wss[0] by file
+            # order would silently run the wrong workspace's filters
+            active = d.get("activeWorkspaceId")
+            by_id = {w.id: w for w in wss}
+            if active in by_id:
+                ws = by_id[active]
+            else:
+                if active is not None:
+                    print(
+                        f"WARN: activeWorkspaceId {active!r} not in store; "
+                        f"falling back to first workspace (id={wss[0].id})"
+                    )
+                ws = wss[0]
         elif "filters" in d or "searches" in d:
             ws = WorkspaceConfig.from_dict(d)
         else:

@@ -194,10 +194,15 @@ class WorkspaceConfig:
     regex_dialect: str = "python"
 
     def validate(
-        self, invalid_regex: str = "reject", require_valid_colors: bool = False
+        self,
+        invalid_regex: str = "reject",
+        require_valid_colors: bool = False,
+        source_dups: str = "reject",
     ) -> "WorkspaceConfig":
         if invalid_regex not in ("reject", "match_nothing"):
             raise ConfigError(f"invalid_regex mode {invalid_regex!r}")
+        if source_dups not in ("reject", "keep_first"):
+            raise ConfigError(f"source_dups mode {source_dups!r}")
         if self.regex_dialect not in ("python", "ecmascript"):
             raise ConfigError(f"regex_dialect {self.regex_dialect!r}")
         seen: set[int] = set()
@@ -219,10 +224,24 @@ class WorkspaceConfig:
         # rows: the global total order is (source_rank, line_no), so a
         # duplicated rank makes it ambiguous (orderBy ties resolve
         # nondeterministically) and a duplicated source name silently
-        # doubles selection
+        # doubles selection. Reference-era stores CAN carry the same
+        # path twice (WorkspaceData keys files by fileId, not path —
+        # WorkspaceData.h:94, addFile never checks the path), so the
+        # load path gets a compat escape hatch like invalid_regex:
+        # source_dups='keep_first' drops later duplicate-name entries
+        # (our source model reads each path once — keep-first is the
+        # closest expressible semantics) instead of refusing to load.
         names = [s.source for s in self.sources]
         if len(names) != len(set(names)):
-            raise ConfigError(f"duplicate source names {names}")
+            if source_dups == "reject":
+                raise ConfigError(f"duplicate source names {names}")
+            seen_names: set[str] = set()
+            kept = []
+            for s in self.sources:
+                if s.source not in seen_names:
+                    seen_names.add(s.source)
+                    kept.append(s)
+            self.sources[:] = kept
         ranks = [s.source_rank for s in self.sources]
         if len(ranks) != len(set(ranks)):
             raise ConfigError(f"duplicate source_rank values {ranks}")
@@ -240,7 +259,12 @@ class WorkspaceConfig:
 
     # ---- (de)serialization, reference-compatible field names ----
     @classmethod
-    def from_dict(cls, d: dict, invalid_regex: str = "reject") -> "WorkspaceConfig":
+    def from_dict(
+        cls,
+        d: dict,
+        invalid_regex: str = "reject",
+        source_dups: str = "reject",
+    ) -> "WorkspaceConfig":
         return cls(
             id=d.get("id", 1),
             name=d.get("name", "workspace"),
@@ -255,7 +279,7 @@ class WorkspaceConfig:
                 for i, s in enumerate(d.get("sources", []))
             ],
             regex_dialect=d.get("regex_dialect", "python"),
-        ).validate(invalid_regex=invalid_regex)
+        ).validate(invalid_regex=invalid_regex, source_dups=source_dups)
 
     def to_dict(self) -> dict:
         out = {
@@ -309,17 +333,34 @@ def load_workspaces(
     version = doc.get("formatVersion")
     if version != FORMAT_VERSION:
         raise ConfigError(f"unsupported formatVersion {version!r}")
+    # the same compat mode that tolerates reference-era invalid regexes
+    # also tolerates their duplicate file paths (keep-first)
+    source_dups = "keep_first" if invalid_regex == "match_nothing" else "reject"
     return [
-        WorkspaceConfig.from_dict(w, invalid_regex=invalid_regex)
+        WorkspaceConfig.from_dict(
+            w, invalid_regex=invalid_regex, source_dups=source_dups
+        )
         for w in doc.get("workspaces", [])
     ]
 
 
-def save_workspaces(path: str, workspaces: Iterable[WorkspaceConfig]) -> None:
+def save_workspaces(
+    path: str,
+    workspaces: Iterable[WorkspaceConfig],
+    active_id: int | None = None,
+) -> None:
+    """Persist the versioned store. The reference envelope also carries
+    the ACTIVE workspace id (WorkspaceManager.cpp:44-47) which its
+    loader restores (:127-133) — pass `active_id` to round-trip it;
+    consumers (tools/run_job.py) select that workspace, falling back to
+    the first with a warning when absent/unknown, exactly like the
+    reference logs and keeps its previous active id."""
     doc = {
         "formatVersion": FORMAT_VERSION,
         "workspaces": [w.to_dict() for w in workspaces],
     }
+    if active_id is not None:
+        doc["activeWorkspaceId"] = active_id
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=2)
 
