@@ -29,9 +29,16 @@ A/B adjudication later disproved). This sandbox is a shared VM, so:
     NOT ship a co-tenant measurement as the round artifact: it polls for
     a quiet window (a short CPU-bound steal probe — steal only accrues
     while our vCPUs are runnable, so an idle-box sample would read 0
-    even under heavy co-tenant load) and re-runs trials until at least
-    one clean trial exists or BENCH_CLEAN_RETRY_SEC (default 900) is
-    exhausted.
+    even under heavy co-tenant load) and re-runs trials until the
+    consistency gate below is met or BENCH_CLEAN_RETRY_SEC (default
+    900) is exhausted;
+  - (round-4 VERDICT #4) the steal/load flags cannot see a SAME-VM
+    co-tenant that arrives mid-bench (no hypervisor steal; loadavg
+    mid-bench is confounded by our own saturating trials), so the
+    recorded basis additionally requires CONSISTENCY: ≥2 clean trials
+    within 15% of the fastest clean trial. Contention only ever adds
+    time, so trials >15% above the clean minimum are co-tenant-inflated
+    and excluded from the recorded median (they remain in the JSON).
 
 The sequences table for the parse→route→aggregate leg is synthesized
 deterministically (seed 42) by the FIXTURES.md generator — no external
@@ -270,11 +277,20 @@ def main():
     def clean_trials() -> list[float]:
         return [t for t, m in zip(pipe_trials, trial_meta) if not m["dirty"]]
 
-    # all initial trials dirty → hunt for a quiet window instead of
-    # recording the co-tenant as the round number (round-3 VERDICT #3)
+    def consistent_clean() -> list[float]:
+        """Clean trials within 15% of the fastest clean trial. A same-VM
+        co-tenant arriving mid-bench is invisible to the steal/load
+        flags (r4 VERDICT #4: a 22.8s trial entered median_clean at
+        load1 15.9); contention only ADDS time, so the reproducible
+        capability is the cluster at the clean minimum."""
+        cl = sorted(clean_trials())
+        return [t for t in cl if t <= cl[0] * 1.15] if cl else []
+
+    # too few mutually-consistent clean trials → hunt for a quiet window
+    # instead of recording the co-tenant as the round number
     retries = 0
     deadline = time.monotonic() + CLEAN_RETRY_SEC
-    while not clean_trials() and time.monotonic() < deadline:
+    while len(consistent_clean()) < 2 and time.monotonic() < deadline:
         st = probe_steal(spark)
         if st > 2.0:
             # contended right now: sleep out part of the budget and re-probe
@@ -284,8 +300,16 @@ def main():
         run_trial(TRIALS + retries)
 
     clean = clean_trials()
-    if clean:
-        pipe_sec, pipe_basis = statistics.median(clean), "median_clean"
+    consistent = consistent_clean()
+    if len(consistent) >= 2:
+        pipe_sec, pipe_basis = (
+            statistics.median(consistent),
+            "median_consistent_clean",
+        )
+    elif clean:
+        # a single clean trial with no agreeing partner: min is the
+        # defensible bound (the slower clean trials measured a co-tenant)
+        pipe_sec, pipe_basis = min(clean), "min_clean_unconfirmed"
     else:
         # every trial (including retries) ran under visible co-tenant
         # steal: the median then measures the co-tenant twice over — the
@@ -310,6 +334,7 @@ def main():
                 "pipeline_sec_basis": pipe_basis,
                 "pipeline_trials": trial_meta,
                 "pipeline_trials_clean": len(clean),
+                "pipeline_trials_consistent": len(consistent),
                 "pipeline_clean_retries": retries,
                 "query_trials": query_trials,
                 "throughput_seq_per_sec": round(SEQ_ROWS / pipe_sec, 1),
