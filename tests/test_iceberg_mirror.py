@@ -220,3 +220,15 @@ class TestSnapshotMaintenance:
             d for d in os.listdir(str(tmp_path / "tbl")) if d.startswith("snap-")
         )
         assert left == [f"snap-{sid:05d}"]
+
+
+def test_shared_contract_against_emulation(spark, tmp_path):
+    """The emulation passes the literal same behavioral contract the
+    env-gated real-catalog suite (test_iceberg_catalog.py) runs — the
+    two paths cannot silently diverge on snapshot semantics."""
+    from iceberg_contract import ALL_CONTRACTS
+    from txtlogparser_spark.sources.iceberg import SnapshotTable
+
+    for contract in ALL_CONTRACTS:
+        t = SnapshotTable(spark, str(tmp_path / contract.__name__))
+        contract(t, spark)
