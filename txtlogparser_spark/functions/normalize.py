@@ -27,6 +27,18 @@ Scale shape:
   - Control strip and whitespace collapse ARE Catalyst
     (regexp_replace, RE2-compatible, whole-stage codegen) — with
     form=None this function is a zero-Python map-only projection.
+  - Measured (2M ~120-char docs, local[32], Arrow batches at the
+    default spark.sql.execution.arrow.maxRecordsPerBatch=10000,
+    warm second trial): 2.36M docs/s pure-ASCII corpus (the
+    short-circuit — cost is the Arrow round trip), 2.60M docs/s at
+    10% non-ASCII, 1.89M docs/s at 100% non-ASCII (NFKC with real
+    recomposition work), vs 4.28M docs/s for the form=None
+    pure-Catalyst path. So the Python stage costs ~1.8× the Catalyst
+    floor even when all rows short-circuit, and the marginal
+    unicodedata cost only appears past ~10% non-ASCII — quantifying
+    the is_ascii-gated split decision above. Larger Arrow batches
+    were not needed: at ~120 chars/doc a 10k-row batch is ~1.2 MB,
+    well past amortization.
 
 Ordering contract (pinned by tests and the DuckDB oracle): normalize
 first, then strip controls, then collapse whitespace. NFKC can MINT
