@@ -69,6 +69,13 @@ PROBE_ITERS = 20
 # under any co-tenant load.
 QUIET_STEAL_PCT = float(os.environ.get("SCALING_QUIET_STEAL_PCT", "1.5"))
 QUIET_WAIT_SEC = float(os.environ.get("SCALING_QUIET_WAIT_SEC", "420"))
+# steal only sees OTHER-VM neighbors; a co-tenant in the SAME VM (another
+# session's Spark jobs) shows up in loadavg but never in steal. Between
+# pairs our own processes are idle, so 1-min load IS informative here
+# (unlike mid-bench) — gate on it too. Default threshold: 15% of cores.
+QUIET_LOAD1 = float(
+    os.environ.get("SCALING_QUIET_LOAD1", str(0.15 * (os.cpu_count() or 32)))
+)
 
 
 def _cpu_stat():
@@ -108,17 +115,21 @@ def wait_for_quiet_window(tag: str) -> None:
     deadline = time.time() + QUIET_WAIT_SEC
     while True:
         st = _steal_probe()
-        if st <= QUIET_STEAL_PCT:
+        # sample load AFTER the probe (the 2.5s spin barely moves the
+        # 1-min average); our own pairs' load decays across the 30s
+        # sleeps, so a persistent high reading is a same-VM co-tenant
+        load1 = os.getloadavg()[0]
+        if st <= QUIET_STEAL_PCT and load1 <= QUIET_LOAD1:
             return
         if time.time() >= deadline:
             print(
                 f"{tag}: no quiet window within {QUIET_WAIT_SEC:.0f}s "
-                f"(last probe {st:.1f}% steal) — proceeding",
+                f"(last probe {st:.1f}% steal, load1 {load1:.1f}) — proceeding",
                 file=sys.stderr,
             )
             return
         print(
-            f"{tag}: window busy ({st:.1f}% steal) — waiting",
+            f"{tag}: window busy ({st:.1f}% steal, load1 {load1:.1f}) — waiting",
             file=sys.stderr,
         )
         time.sleep(30)
@@ -366,6 +377,7 @@ def main():
     times = {1: [], 4: []}
     pair_eff = []
     pair_steals = []
+    pair_load1 = []
     pair_clean = []
     # per-pair SAME-WINDOW ceiling probes (hw_ceiling.measure): co-tenant
     # load drifts on minute scales, so a ceiling measured hours earlier
@@ -388,6 +400,7 @@ def main():
             break
         try:
             wait_for_quiet_window(f"pair {k + 1}")
+            load_before = os.getloadavg()[0]
             rN = run_config(1, data, args.rows, 1, warm_data=warm)
             r4 = run_config(4, data, args.rows, 1, warm_data=warm)
         except RuntimeError as e:
@@ -404,7 +417,12 @@ def main():
         times[4].append(t4)
         pair_eff.append((tN / t4) / 4)
         pair_steals.append((stealN, steal4))
-        pair_clean.append(stealN <= 2.0 and steal4 <= 2.0)
+        pair_load1.append(round(load_before, 2))
+        # clean = no visible other-VM steal during either leg AND no
+        # same-VM co-tenant load at launch (steal cannot see those)
+        pair_clean.append(
+            stealN <= 2.0 and steal4 <= 2.0 and load_before <= QUIET_LOAD1
+        )
         try:
             probe = hw_ceiling.measure(
                 n_iter=PROBE_ITERS, data=os.path.join(data, "sequences")
@@ -474,6 +492,7 @@ def main():
         "trials_requested": args.trials,
         "pair_efficiencies": [round(e, 3) for e in pair_eff],
         "pair_steal_pct": [[a, b] for a, b in pair_steals],
+        "pair_load1_before": pair_load1,
         "pairs_clean": sum(pair_clean),
         "efficiency_all_pairs": round(eff_all, 3),
         "t_n_median_sec": results[1]["median_sec"],
