@@ -211,8 +211,19 @@ def main():
         "int-list column — see BENCH/BASELINE.md for measured throughput.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
+    # preserve the spill-audit block (tools/spill_audit.py owns it) —
+    # this tool rewrites everything else
+    spill_block = ""
+    if os.path.exists(out):
+        with open(out) as fh:
+            prev = fh.read()
+        m = re.search(
+            r"<!-- SPILL_AUDIT_BEGIN -->.*?<!-- SPILL_AUDIT_END -->", prev, re.S
+        )
+        if m:
+            spill_block = "\n\n" + m.group(0)
     with open(out, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + spill_block + "\n")
     print(f"\nwrote {out}")
     spark.stop()
 
